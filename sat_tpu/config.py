@@ -1,0 +1,196 @@
+"""Configuration for training and inference.
+
+The dataclass mirrors the reference's argparse surface (reference
+train.py:438-472) field-for-field so that `vars(args)`-style persistence to
+`model_config.json` stays byte-compatible (reference train.py:108-109), while
+adding TPU-framework knobs (mesh shape, precision, checkpoint dir) that the
+reference lacks. New knobs are excluded from the parity JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+# Fields that exist in the reference's argparse namespace, in its order
+# (train.py:440-470). model_config.json must contain exactly these keys.
+_REFERENCE_FIELDS = (
+    "batch_size",
+    "epochs",
+    "lr",
+    "step_size",
+    "alpha_c",
+    "perform_test",
+    "seed",
+    "log_interval",
+    "data",
+    "network",
+    "model",
+    "tf",
+    "ado",
+    "fraction",
+    "bert",
+    "attention",
+)
+
+ENCODER_DIMS = {
+    # Annotation-vector dim per encoder backbone (reference encoder.py:17,22,27).
+    # NOTE: the reference hardcodes 1920 for densenet161, but torchvision's
+    # densenet161 actually emits 2208 channels before norm5 — the reference's
+    # densenet path is broken at runtime; we use the correct value.
+    "vgg19": 512,
+    "resnet152": 2048,
+    "densenet161": 2208,
+}
+
+ENCODER_GRID = {
+    # Spatial grid side for a 224x224 input (reference generate_caption.py:137-140).
+    "vgg19": 14,
+    "resnet152": 7,
+    "densenet161": 7,
+}
+
+
+@dataclass
+class Config:
+    # --- reference-parity fields (train.py:438-472) ---
+    batch_size: int = 64
+    epochs: int = 10
+    lr: float = 1e-4
+    step_size: int = 5           # StepLR epoch interval (gamma fixed at 0.1)
+    alpha_c: float = 1.0         # doubly-stochastic attention reg constant
+    perform_test: bool = True
+    seed: int = 42
+    log_interval: int = 100
+    data: str = "data/coco"
+    network: str = "vgg19"       # vgg19 | resnet152 | densenet161
+    model: Optional[str] = None  # warm-start checkpoint path
+    tf: bool = False             # teacher forcing
+    ado: bool = False            # advanced deep output
+    fraction: float = 1.0
+    bert: bool = False           # frozen BERT input embeddings
+    attention: bool = False      # soft attention on/off
+
+    # --- TPU-framework extensions (not in model_config.json) ---
+    mesh_data: int = 0           # 0 = all visible devices on the data axis
+    mesh_model: int = 1          # model-axis size (vocab-sharded output head)
+    bf16_encoder: bool = False   # run encoder convs in bfloat16
+    checkpoint_dir: str = "model"
+    resume: bool = False         # auto-resume from latest orbax checkpoint
+    bert_embeddings: Optional[str] = None  # .npy with the frozen 30522x768 table
+    encoder_weights: Optional[str] = None  # ported pretrained encoder params (.npz)
+    log_jsonl: Optional[str] = None        # JSONL metrics sink
+    wandb: bool = False          # enable W&B backend when the package exists
+    debug_nans: bool = False     # jax_debug_nans toggle
+    profile_dir: Optional[str] = None      # jax.profiler trace output dir
+
+    @property
+    def encoder_dim(self) -> int:
+        return ENCODER_DIMS[self.network]
+
+    @property
+    def grid_side(self) -> int:
+        return ENCODER_GRID[self.network]
+
+    @property
+    def num_annotations(self) -> int:
+        return self.grid_side * self.grid_side
+
+    @property
+    def embedding_size(self) -> int:
+        from sat_tpu import constants
+        return constants.BERT_HIDDEN_SIZE if self.bert else 512
+
+    def reference_dict(self) -> dict:
+        """The reference-compatible argparse namespace as a dict.
+
+        Matches `vars(args)` of the reference CLI so that model_config.json
+        written by us is loadable by reference tooling and vice versa
+        (reference train.py:108-109, generate_caption.py:38-46).
+        """
+        return {k: getattr(self, k) for k in _REFERENCE_FIELDS}
+
+    def save_model_config(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.reference_dict(), f)
+
+    @classmethod
+    def from_model_config(cls, path: str, **overrides) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """Argparse surface identical to the reference (train.py:438-472).
+
+    argparse prefix matching makes `--frac` work as an abbreviation of
+    `--fraction`, which train_models.py and the README rely on.
+    """
+    parser = argparse.ArgumentParser(description="Show, Attend and Tell")
+    parser.add_argument("--batch-size", type=int, default=64, metavar="N",
+                        help="batch size for training (default: 64)")
+    parser.add_argument("--epochs", type=int, default=10, metavar="E",
+                        help="number of epochs to train for (default: 10)")
+    parser.add_argument("--lr", type=float, default=1e-4, metavar="LR",
+                        help="learning rate of the decoder (default: 1e-4)")
+    parser.add_argument("--step-size", type=int, default=5,
+                        help="step size for learning rate annealing (default: 5)")
+    parser.add_argument("--alpha-c", type=float, default=1, metavar="A",
+                        help="regularization constant (default: 1)")
+    parser.add_argument("--perform-test", action="store_true", default=True,
+                        help="run the test split after training (default: True)")
+    parser.add_argument("--seed", type=int, default=42, metavar="S",
+                        help="random seed (default: 42)")
+    parser.add_argument("--log-interval", type=int, default=100, metavar="L",
+                        help="batches between logged training stats (default: 100)")
+    parser.add_argument("--data", type=str, default="data/coco",
+                        help="path to data images (default: data/coco)")
+    parser.add_argument("--network", choices=["vgg19", "resnet152", "densenet161"],
+                        default="vgg19",
+                        help="network to use in the encoder (default: vgg19)")
+    parser.add_argument("--model", type=str, help="path to model")
+    parser.add_argument("--tf", action="store_true", default=False,
+                        help="use teacher forcing when training LSTM (default: False)")
+    parser.add_argument("--ado", action="store_true", default=False,
+                        help="use advanced deep output (default: False)")
+    parser.add_argument("--fraction", type=float, default=1.0, metavar="F",
+                        help="fraction of dataset to use (default: 1.0)")
+    parser.add_argument("--bert", action="store_true", default=False,
+                        help="use bert for word embeddings (default: False)")
+    parser.add_argument("--attention", action="store_true", default=False,
+                        help="use attention (default: False)")
+    # --- TPU-framework extensions ---
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="data-parallel mesh axis size (0 = all devices)")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="model-parallel mesh axis size (vocab sharding)")
+    parser.add_argument("--bf16-encoder", action="store_true", default=False,
+                        help="run encoder convolutions in bfloat16")
+    parser.add_argument("--checkpoint-dir", type=str, default="model",
+                        help="directory for checkpoints + model_config.json")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="resume from the latest checkpoint in checkpoint-dir")
+    parser.add_argument("--bert-embeddings", type=str, default=None,
+                        help=".npy file with the frozen BERT embedding table")
+    parser.add_argument("--encoder-weights", type=str, default=None,
+                        help=".npz with ported pretrained encoder params")
+    parser.add_argument("--log-jsonl", type=str, default=None,
+                        help="write metrics to this JSONL file")
+    parser.add_argument("--wandb", action="store_true", default=False,
+                        help="log to Weights & Biases if installed")
+    parser.add_argument("--debug-nans", action="store_true", default=False,
+                        help="enable jax_debug_nans")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace into this directory")
+    return parser
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(**vars(args))

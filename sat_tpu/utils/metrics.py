@@ -1,0 +1,84 @@
+"""Token-level metrics and the reference's loss, as pure jnp functions.
+
+Every function replicates the reference's numerics exactly, including its
+acknowledged quirks, because BLEU/accuracy parity depends on them:
+ - sequence_accuracy masks padding (reference utils.py:44-80);
+ - the cross-entropy keeps PAD tokens and drops only the final timestep of
+   every row, because the reference feeds constant `length-1` lengths into
+   pack_padded_sequence (reference train.py:149-151);
+ - the doubly-stochastic attention regularizer is
+   alpha_c * mean((1 - sum_t alpha)^2) (reference train.py:154).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sequence_accuracy(preds: jnp.ndarray, targets: jnp.ndarray, k: int,
+                      ignore_index: int = 0) -> jnp.ndarray:
+    """Top-k token accuracy over non-padding positions, as a percentage.
+
+    preds: (B, T, V) logits; targets: (B, T) int ids.
+    Matches reference utils.py:44-80 (mask = targets != ignore_index; a
+    position counts if the target id appears anywhere in the top-k logits).
+    Returns a 0-dim float32 array (0.0 when every position is padding).
+    """
+    _, topk = jax.lax.top_k(preds, k)                      # (B, T, k)
+    correct = (topk == targets[..., None]).any(axis=-1)    # (B, T)
+    mask = targets != ignore_index
+    total = mask.sum()
+    correct_total = (correct & mask).sum()
+    return jnp.where(total > 0, correct_total * 100.0 / jnp.maximum(total, 1), 0.0)
+
+
+def calculate_caption_lengths(captions: jnp.ndarray, skip_ids) -> jnp.ndarray:
+    """Count of tokens not in `skip_ids`, summed over the whole batch
+    (reference utils.py:101-107). `captions` is (B, L) int; `skip_ids` a
+    static tuple of special-token ids."""
+    skip = jnp.asarray(skip_ids)
+    mask = ~(captions[..., None] == skip).any(-1)
+    return mask.sum()
+
+
+def reference_packed_cross_entropy(preds: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy over the first T-1 timesteps of every row.
+
+    The reference packs preds/targets with per-row lengths of `len(row) - 1`
+    (train.py:150-151), which — all rows being padded to the same length —
+    keeps every row's first T-1 steps (PAD included) and drops the last step.
+    """
+    t_keep = preds.shape[1] - 1
+    logits = preds[:, :t_keep].reshape(-1, preds.shape[-1])
+    labels = targets[:, :t_keep].reshape(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return nll.mean()
+
+
+# Alias used by the engine; keeps the descriptive name exported in utils.
+masked_mean_cross_entropy = reference_packed_cross_entropy
+
+
+def attention_regularization(alphas: jnp.ndarray, alpha_c: float) -> jnp.ndarray:
+    """Doubly-stochastic attention penalty (reference train.py:154).
+
+    alphas: (B, T, L) attention weights; penalty encourages each spatial
+    location's attention, summed over time, to total 1.
+    """
+    return alpha_c * ((1.0 - alphas.sum(axis=1)) ** 2).mean()
+
+
+def repetition_penalty(preds: jnp.ndarray, ignore_ids, beta: float = 1.0) -> jnp.ndarray:
+    """Penalty on consecutive repeated argmax tokens (reference
+    train.py:357-384). Dormant in the reference (call sites commented out,
+    train.py:156-159) — provided for parity, off by default in our loop."""
+    pred_tokens = preds.argmax(axis=2)                             # (B, T)
+    shifted = jnp.concatenate([pred_tokens[:, :1], pred_tokens[:, :-1]], axis=1)
+    repetitions = (pred_tokens == shifted).astype(jnp.float32)
+    mask = jnp.ones_like(repetitions, dtype=bool)
+    for idx in ignore_ids:
+        mask &= shifted != idx
+    masked = repetitions[:, 1:] * mask[:, 1:].astype(jnp.float32)
+    return (masked.sum() / pred_tokens.shape[0]) * beta
