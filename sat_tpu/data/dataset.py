@@ -1,0 +1,172 @@
+"""Streaming caption dataset + batch loader.
+
+Replaces the reference's eager-RAM ImageCaptionDataset (reference
+dataset.py:15-52, which decodes every image at construction time) with a
+lazy, cached, thread-prefetched pipeline that yields fixed-shape numpy
+batches ready for device transfer:
+
+  imgs         (B, 224, 224, 3) float32, NHWC, ImageNet-normalized
+  captions     (B, L) int32
+  all_captions (B, n_caps, L) int32  — BLEU reference groups
+
+Semantics preserved from the reference:
+  - items are (image, caption, all-captions-for-that-image) triples keyed by
+    caption row, so an image with 5 captions appears 5 times per epoch;
+  - `fraction` truncates the front of the split (dataset.py:28-30);
+  - all-captions groups are collated to a fixed width. The reference relies
+    on every image having the same caption count (torch default_collate);
+    when `fraction` splits a group we pad by repeating the group's first
+    caption, which is BLEU-neutral (duplicate references change neither
+    n-gram max counts nor closest-reference length).
+
+Multi-host: pass shard_index/shard_count (defaults cover single host) and
+each host reads a disjoint stripe of every batch — the per-host half of the
+data-parallel input pipeline (the device half lives in sat_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from collections import defaultdict
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from sat_tpu.data.transforms import load_and_preprocess_image
+
+
+class CaptionDataset:
+    def __init__(self, data_path: str, split_type: str = "train",
+                 fraction: float = 1.0, bert: bool = False,
+                 cache_images: bool = True, image_size: int = 224):
+        self.data_path = data_path
+        self.split_type = split_type
+        self.image_size = image_size
+
+        img_paths = json.load(open(f"{data_path}/{split_type}_img_paths.json"))
+        suffix = "_captions_bert.json" if bert else "_captions.json"
+        captions = json.load(open(f"{data_path}/{split_type}{suffix}"))
+
+        if fraction != 1.0:
+            img_paths = img_paths[:int(len(img_paths) * fraction)]
+            captions = captions[:int(len(captions) * fraction)]
+
+        self.img_paths = img_paths
+        self.captions = np.asarray(captions, dtype=np.int32)
+
+        groups = defaultdict(list)
+        for path, caption in zip(img_paths, captions):
+            groups[path].append(caption)
+        n_caps = max((len(g) for g in groups.values()), default=1)
+        all_captions = []
+        for path in img_paths:
+            group = groups[path]
+            padded = group + [group[0]] * (n_caps - len(group))
+            all_captions.append(padded)
+        self.all_captions = np.asarray(all_captions, dtype=np.int32)
+
+        self._cache: Optional[dict] = {} if cache_images else None
+        self._cache_lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.img_paths)
+
+    @property
+    def caption_length(self) -> int:
+        return self.captions.shape[1]
+
+    def load_image(self, index: int) -> np.ndarray:
+        path = self.img_paths[index]
+        if self._cache is not None:
+            with self._cache_lock:
+                hit = self._cache.get(path)
+            if hit is not None:
+                return hit
+        img = load_and_preprocess_image(path, self.image_size)
+        if self._cache is not None:
+            with self._cache_lock:
+                self._cache[path] = img
+        return img
+
+    def __getitem__(self, index: int):
+        return self.load_image(index), self.captions[index], self.all_captions[index]
+
+
+class BatchLoader:
+    """Shuffling, sharding, prefetching batch iterator.
+
+    One epoch = `for batch in loader.epoch(epoch_num)`. Shuffling is seeded
+    by (seed, epoch) so every host permutes identically and then takes its
+    own stripe. The final partial batch is kept (reference DataLoader
+    default), producing at most two distinct batch shapes per epoch.
+    """
+
+    def __init__(self, dataset: CaptionDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 42,
+                 shard_index: int = 0, shard_count: int = 1,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def batches_per_epoch(self) -> int:
+        n = len(self.dataset) // self.shard_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        per_shard = n // self.shard_count
+        start = self.shard_index * per_shard
+        return order[start:start + per_shard] if self.shard_count > 1 else order
+
+    def _make_batch(self, idxs: np.ndarray):
+        imgs = np.stack([self.dataset.load_image(i) for i in idxs])
+        captions = self.dataset.captions[idxs]
+        all_captions = self.dataset.all_captions[idxs]
+        return imgs, captions, all_captions
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        order = self._epoch_indices(epoch)
+        bs = self.batch_size
+        splits = [order[i:i + bs] for i in range(0, len(order), bs)]
+        if self.drop_last and splits and len(splits[-1]) < bs:
+            splits.pop()
+        if self.prefetch <= 0:
+            for idxs in splits:
+                yield self._make_batch(idxs)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in splits:
+                    q.put(self._make_batch(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+    def __iter__(self):
+        return self.epoch(0)

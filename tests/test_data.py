@@ -1,0 +1,117 @@
+"""Data-layer tests: vocab prep golden-compared against the reference's
+generate_json_data, dataset/loader shapes, sharding, caching, transforms."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests._reference import import_reference
+from tests._synth import build_synth_dataset
+
+from sat_tpu.data import generate_json_data, CaptionDataset, BatchLoader
+from sat_tpu.data.transforms import load_and_preprocess_image, denormalize
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    build_synth_dataset(root, n_train=5, n_val=2, n_test=2, caps_per_img=3)
+    return root
+
+
+def test_vocab_prep_matches_reference_artifacts(synth_root, tmp_path):
+    ref_mod = import_reference("generate_json_data")
+    ref_dir, our_dir = str(tmp_path / "ref"), str(tmp_path / "ours")
+    os.makedirs(ref_dir), os.makedirs(our_dir)
+    ref_mod.generate_json_data(f"{synth_root}/dataset.json", ref_dir,
+                               max_captions_per_image=2, min_word_count=2,
+                               max_caption_length=5)
+    generate_json_data(f"{synth_root}/dataset.json", our_dir,
+                       max_captions_per_image=2, min_word_count=2,
+                       max_caption_length=5)
+    for name in ["word_dict.json", "train_img_paths.json", "val_img_paths.json",
+                 "test_img_paths.json", "train_captions.json",
+                 "val_captions.json", "test_captions.json"]:
+        ref = json.load(open(f"{ref_dir}/{name}"))
+        ours = json.load(open(f"{our_dir}/{name}"))
+        # Image paths embed the output dir; compare basenames for those.
+        if name.endswith("img_paths.json"):
+            ref = [os.path.basename(p) for p in ref]
+            ours = [os.path.basename(p) for p in ours]
+        assert ours == ref, f"artifact mismatch: {name}"
+
+
+@pytest.fixture(scope="module")
+def prepped(synth_root):
+    generate_json_data(f"{synth_root}/dataset.json", synth_root,
+                       max_captions_per_image=3, min_word_count=1,
+                       max_caption_length=10)
+    return synth_root
+
+
+def test_transform_shape_and_normalization(prepped):
+    paths = json.load(open(f"{prepped}/train_img_paths.json"))
+    img = load_and_preprocess_image(paths[0])
+    assert img.shape == (224, 224, 3) and img.dtype == np.float32
+    restored = denormalize(img)
+    assert restored.min() >= 0.0 and restored.max() <= 1.0
+
+
+def test_dataset_triples_and_group_padding(prepped):
+    ds = CaptionDataset(prepped, "train")
+    img, caption, all_caps = ds[0]
+    assert img.shape == (224, 224, 3)
+    assert caption.shape == (ds.caption_length,)
+    assert all_caps.shape == (3, ds.caption_length)  # 3 caps per image
+    assert (all_caps == ds.captions[0]).all(axis=1).any()  # own caption in group
+    # caption rows for one image appear consecutively; group holds all three
+    assert len(ds) == 15  # 5 train images x 3 captions
+
+
+def test_fraction_truncation_pads_split_groups(prepped):
+    # fraction cutting mid-group must still produce a fixed-width group
+    ds = CaptionDataset(prepped, "train", fraction=0.3)  # 15*0.3 = 4 rows
+    assert len(ds) == 4
+    assert ds.all_captions.shape[1] == 3
+    # the split group (image 1 has only 1 of its 3 captions) repeats caption 0
+    g = ds.all_captions[3]
+    assert (g[1] == g[0]).all() and (g[2] == g[0]).all()
+
+
+def test_loader_shapes_shuffle_and_determinism(prepped):
+    ds = CaptionDataset(prepped, "train")
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4  # 15 rows -> 4,4,4,3
+    imgs, caps, all_caps = batches[0]
+    assert imgs.shape == (4, 224, 224, 3)
+    assert caps.shape[0] == 4 and all_caps.shape[:2] == (4, 3)
+    assert batches[-1][0].shape[0] == 3  # kept partial batch
+    # identical epoch seed -> identical order
+    again = list(loader.epoch(0))
+    assert all((a[1] == b[1]).all() for a, b in zip(batches, again))
+    # different epoch -> different order
+    other = list(loader.epoch(1))
+    assert any((a[1] != b[1]).any() for a, b in zip(batches, other))
+
+
+def test_loader_sharding_disjoint(prepped):
+    ds = CaptionDataset(prepped, "train")
+    seen = []
+    for shard in range(3):
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             shard_index=shard, shard_count=3, prefetch=0)
+        rows = np.concatenate([b[1] for b in loader.epoch(0)])
+        seen.append({tuple(r) for r in rows.tolist()})
+    # each shard gets 5 rows; all shards mutually disjoint caption multisets
+    union = set().union(*seen)
+    assert len(union) >= 12  # 15 rows, some dup captions possible
+
+
+def test_eager_cache_hits(prepped):
+    ds = CaptionDataset(prepped, "train", cache_images=True)
+    a = ds.load_image(0)
+    b = ds.load_image(0)
+    assert a is b  # second load served from cache
