@@ -1,0 +1,152 @@
+"""Beam-search captioning as a fixed-shape, on-device `lax.while_loop`.
+
+Replicates the reference's flat beam (reference decoder.py:160-269) exactly,
+under XLA's static-shape rules:
+
+  - scores are **raw accumulated logits** (`top_preds + output`,
+    decoder.py:204 — the reference never log-softmaxes; kept verbatim);
+  - step 1 expands only row 0 (decoder.py:206-207): we initialize the live
+    mask to row 0 only;
+  - the reference *shrinks* the live beam as rows complete
+    (decoder.py:238-250). We keep shapes fixed: each step's flat top-k picks
+    `beam_size` candidates but only the top `live_count` ranks are admitted,
+    matching the reference's top-`live` selection; completed/dead rows carry
+    -inf scores so they are never re-selected;
+  - completion ids: vanilla {1, 102}, bert {1, 0} (decoder.py:224-229);
+  - the best completed sentence is the **first-encountered maximum** of raw
+    summed scores across all steps (decoder.py:265, Python `max` +
+    `list.index`): we keep a running best with strict `>`, and within a step
+    `argmax` picks the lowest rank among ties — identical tie-breaking;
+  - hard cap: the reference's `while` executes up to 51 expansion steps
+    (`step > 50` checked after the body, decoder.py:252-253);
+  - alpha history row 0 is all-ones (decoder.py:173), and the returned
+    sentence includes the start token — generate_caption.py renders both.
+
+`lax.top_k` breaks ties by lower index, like `torch.topk(sorted=True)`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sat_tpu import constants
+from sat_tpu.models.attention import precompute_attention_keys
+from sat_tpu.models.decoder import DecoderConfig, decode_step, embed_tokens, init_lstm_state
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray       # (1 + max_steps,) int32, col 0 = start token
+    length: jnp.ndarray       # index of the final (stop) token in `tokens`
+    alphas: jnp.ndarray       # (1 + max_steps, L) — row 0 all-ones
+    score: jnp.ndarray        # raw summed logits of the winning sentence
+    found: jnp.ndarray        # bool — any sentence completed
+    fallback_alpha: jnp.ndarray  # (L,) last-step attention of row 0 (decoder.py:258)
+
+
+def beam_search(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
+                beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS) -> BeamResult:
+    """Caption one image. features: (L, D) annotation grid."""
+    K, L = beam_size, features.shape[0]
+    V = cfg.effective_vocab_size
+    stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
+                      else constants.BEAM_STOP_VANILLA)
+
+    feats_k = jnp.broadcast_to(features[None], (K,) + features.shape)
+    keys_k = precompute_attention_keys(params["attention"], feats_k)
+    h0, c0 = init_lstm_state(params, feats_k)
+
+    T = 1 + max_steps
+    init = dict(
+        sentences=jnp.full((K, T), cfg.start_token, jnp.int32),
+        alph_hist=jnp.concatenate(
+            [jnp.ones((K, 1, L), feats_k.dtype), jnp.zeros((K, T - 1, L), feats_k.dtype)], axis=1),
+        scores=jnp.zeros((K,), feats_k.dtype),
+        h=h0, c=c0,
+        prev=jnp.full((K,), cfg.start_token, jnp.int32),
+        live=jnp.arange(K) == 0,         # step 1 expands only row 0
+        live_count=jnp.int32(K),
+        step=jnp.int32(1),
+        best_score=jnp.float32(-jnp.inf),
+        best_tokens=jnp.zeros((T,), jnp.int32),
+        best_len=jnp.int32(0),
+        best_alphas=jnp.zeros((T, L), feats_k.dtype),
+        found=jnp.bool_(False),
+        last_alpha0=jnp.zeros((L,), feats_k.dtype),
+    )
+
+    def cond(s):
+        return (s["live_count"] > 0) & (s["step"] <= max_steps)
+
+    def body(s):
+        emb = embed_tokens(params, cfg, s["prev"])
+        h2, c2, logits, alpha, _ = decode_step(
+            params, cfg, feats_k, keys_k, s["h"], s["c"], emb, None)
+
+        cand = s["scores"][:, None] + logits                     # (K, V)
+        cand = jnp.where(s["live"][:, None], cand, -jnp.inf)
+        values, flat_idx = jax.lax.top_k(cand.reshape(-1), K)
+        parent = flat_idx // V
+        word = (flat_idx % V).astype(jnp.int32)
+        rank = jnp.arange(K)
+        valid = rank < s["live_count"]
+
+        step = s["step"]
+        new_sent = s["sentences"][parent].at[:, step].set(word)
+        new_alph = s["alph_hist"][parent].at[:, step, :].set(alpha[parent])
+
+        is_stop = (word == stop_a) | (word == stop_b)
+        completed = valid & is_stop
+
+        comp_scores = jnp.where(completed, values, -jnp.inf)
+        bi = jnp.argmax(comp_scores)                             # lowest rank on ties
+        step_best = comp_scores[bi]
+        improved = step_best > s["best_score"]                   # strict: earlier wins ties
+
+        live_new = valid & ~is_stop
+        return dict(
+            sentences=new_sent,
+            alph_hist=new_alph,
+            scores=jnp.where(live_new, values, -jnp.inf),
+            h=h2[parent], c=c2[parent],
+            prev=word,
+            live=live_new,
+            live_count=s["live_count"] - completed.sum(),
+            step=step + 1,
+            best_score=jnp.where(improved, step_best, s["best_score"]),
+            best_tokens=jnp.where(improved, new_sent[bi], s["best_tokens"]),
+            best_len=jnp.where(improved, step, s["best_len"]),
+            best_alphas=jnp.where(improved, new_alph[bi], s["best_alphas"]),
+            found=s["found"] | completed.any(),
+            last_alpha0=alpha[0],
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return BeamResult(tokens=final["best_tokens"], length=final["best_len"],
+                      alphas=final["best_alphas"], score=final["best_score"],
+                      found=final["found"], fallback_alpha=final["last_alpha0"])
+
+
+def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
+                        beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS) -> BeamResult:
+    """vmap of `beam_search` over a batch of images: features (B, L, D).
+
+    This is the TPU serving path — every image's beam runs in lockstep on
+    device; the reference can only caption one image per Python loop.
+    """
+    return jax.vmap(lambda f: beam_search(params, cfg, f, beam_size, max_steps))(features)
+
+
+def extract_caption(result: BeamResult):
+    """Host-side unpacking with the reference's fallback semantics
+    (decoder.py:256-258): no completed sentence -> `[0]` and the final
+    attention map. Returns (token_list, alphas ndarray (T, L))."""
+    import numpy as np
+    found = bool(result.found)
+    if not found:
+        return [0], np.asarray(result.fallback_alpha)[None]
+    n = int(result.length) + 1
+    return (np.asarray(result.tokens)[:n].tolist(),
+            np.asarray(result.alphas)[:n])
