@@ -86,6 +86,7 @@ class Config:
     wandb: bool = False          # enable W&B backend when the package exists
     debug_nans: bool = False     # jax_debug_nans toggle
     profile_dir: Optional[str] = None      # jax.profiler trace output dir
+    image_size: int = 224        # input resolution (224 = reference parity)
 
     @property
     def encoder_dim(self) -> int:
@@ -93,7 +94,9 @@ class Config:
 
     @property
     def grid_side(self) -> int:
-        return ENCODER_GRID[self.network]
+        # VGG19 keeps stride 16 (last pool dropped); ResNet/DenseNet stride 32.
+        stride = 16 if self.network == "vgg19" else 32
+        return self.image_size // stride
 
     @property
     def num_annotations(self) -> int:

@@ -1,0 +1,13 @@
+from sat_tpu.parallel.mesh import make_mesh, batch_sharding, param_sharding, replicated
+from sat_tpu.parallel.train_step import TrainState, make_train_step, make_eval_step, init_train_state
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "param_sharding",
+    "replicated",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+    "init_train_state",
+]

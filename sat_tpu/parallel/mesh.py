@@ -1,0 +1,69 @@
+"""Device mesh and sharding rules.
+
+The reference is single-device by construction (one hardcoded MPS device,
+reference train.py:34-35; no torch.distributed anywhere). Here parallelism
+is first-class: a 2-axis `jax.sharding.Mesh`:
+
+  data  — batch dimension of every array in the step (DP). Gradient
+          all-reduce is emitted by XLA from the shardings; no explicit
+          collectives in user code, and they ride ICI.
+  model — optional vocab-dimension sharding of the embedding table and
+          output heads (TP). At this model scale (~13M decoder params) it
+          is off by default (size 1) but wired end to end so the 30522-row
+          BERT head can shard.
+
+Multi-host: `jax.distributed.initialize()` + per-host data striping happens
+in the engine; every sharding here is expressed over the global mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int = 0, n_model: int = 1, devices=None) -> Mesh:
+    """n_data=0 means "all remaining devices on the data axis"."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data <= 0:
+        n_data = max(1, len(devices) // max(n_model, 1))
+    used = n_data * n_model
+    grid = np.asarray(devices[:used]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding for inputs/activations."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def _decoder_specs(params: dict) -> dict:
+    """PartitionSpec tree for decoder params: vocab-dim sharding on the
+    embedding and output heads, everything else replicated."""
+    specs = jax.tree_util.tree_map(lambda _: P(), params)
+    specs["embedding"] = P(MODEL_AXIS, None)          # (V, E)
+    specs["deep_output"] = {"w": P(None, MODEL_AXIS),  # (E, V)
+                            "b": P(MODEL_AXIS)}
+    if "ado" in params:
+        specs["ado"]["f_out"] = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
+    return specs
+
+
+def param_sharding(mesh: Mesh, params: dict, shard_vocab: bool = True) -> dict:
+    """NamedSharding tree for a decoder param tree."""
+    if shard_vocab and mesh.shape[MODEL_AXIS] > 1:
+        specs = _decoder_specs(params)
+    else:
+        specs = jax.tree_util.tree_map(lambda _: P(), params)
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), specs,
+        is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,123 @@
+"""The pjit-compiled training and evaluation steps.
+
+One jitted program per optimizer step: frozen encoder forward, decoder
+forward, loss (reference-parity CE + doubly-stochastic regularizer,
+reference train.py:150-162), backward, and Adam update — where the
+reference launches ~10 kernels x 26 timesteps per batch from Python
+(SURVEY.md §3.1), everything here is a single XLA computation scheduled
+onto the mesh. Gradient all-reduce across the `data` axis is emitted by XLA
+from the shardings.
+
+Optimizer parity: torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8
+added outside the sqrt -> optax `scale_by_adam(eps_root=0)`), with the
+learning rate passed in per step so the host drives the reference's StepLR
+schedule (lr * 0.1^floor(epoch/step_size), reference train.py:72,100)
+without recompiling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sat_tpu import constants
+from sat_tpu.models.decoder import DecoderConfig, decoder_forward
+from sat_tpu.models.encoder import encoder_forward
+from sat_tpu.utils.metrics import (
+    attention_regularization,
+    calculate_caption_lengths,
+    reference_packed_cross_entropy,
+    sequence_accuracy,
+)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def init_train_state(params: dict) -> TrainState:
+    tx = make_optimizer()
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def special_ids(use_bert: bool):
+    """(pad_id, skip_ids) for accuracy masking and caption-length counting
+    (reference train.py:143, 174-177)."""
+    if use_bert:
+        return constants.BERT_PAD, (constants.BERT_PAD, constants.BERT_CLS,
+                                    constants.BERT_SEP)
+    return constants.PAD, (constants.PAD, constants.START, constants.EOS)
+
+
+def _loss_and_metrics(dcfg: DecoderConfig, alpha_c: float, params, features,
+                      captions, rng, train: bool):
+    preds, alphas = decoder_forward(params, dcfg, features, captions,
+                                    rng=rng, train=train)
+    targets = captions[:, 1:]
+    ce = reference_packed_cross_entropy(preds, targets)
+    att_reg = attention_regularization(alphas, alpha_c)
+    loss = ce + att_reg
+    pad_id, skip_ids = special_ids(dcfg.use_bert)
+    metrics = {
+        "loss": loss,
+        "acc1": sequence_accuracy(preds, targets, 1, ignore_index=pad_id),
+        "acc5": sequence_accuracy(preds, targets, 5, ignore_index=pad_id),
+        "caption_length": calculate_caption_lengths(captions, skip_ids),
+    }
+    return loss, (metrics, preds, alphas)
+
+
+def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
+                    bf16_encoder: bool = False):
+    """Returns jitted `step(state, enc_params, imgs, captions, lr, rng)
+    -> (state, metrics)`."""
+    tx = make_optimizer()
+    compute_dtype = jnp.bfloat16 if bf16_encoder else None
+
+    def step_fn(state: TrainState, enc_params, imgs, captions, lr, rng):
+        features = jax.lax.stop_gradient(
+            encoder_forward(enc_params, network, imgs, compute_dtype))
+
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
+                                        captions, rng, True),
+            has_aux=True)(state.params)
+        metrics = aux[0]
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(dcfg: DecoderConfig, network: str, alpha_c: float,
+                   bf16_encoder: bool = False):
+    """Returns jitted `eval(params, enc_params, imgs, captions)
+    -> (metrics, pred_tokens (B,T), alphas (B,T,L))`.
+
+    Only argmax token ids leave the device (the reference ships full logits
+    to host for `torch.max`, train.py:272,297)."""
+    compute_dtype = jnp.bfloat16 if bf16_encoder else None
+
+    def eval_fn(params, enc_params, imgs, captions):
+        features = encoder_forward(enc_params, network, imgs, compute_dtype)
+        _, (metrics, preds, alphas) = _loss_and_metrics(
+            dcfg, alpha_c, params, features, captions, None, False)
+        pred_tokens = preds.argmax(axis=2).astype(jnp.int32)
+        return metrics, pred_tokens, alphas
+
+    return jax.jit(eval_fn)

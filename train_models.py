@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Experiment runner — the reference's canned experiment sweep
+(reference train_models.py:3-163): each experiment is a flag list passed to
+train.py via subprocess, run sequentially. Config names and flags mirror the
+reference's four headline Flickr8k experiments plus its sweep templates."""
+
+import subprocess
+import sys
+
+
+def run_script(script_name, args):
+    command = [sys.executable, script_name] + args
+    print("Running:", " ".join(command))
+    result = subprocess.run(command)
+    if result.returncode != 0:
+        print(f"Experiment failed with code {result.returncode}")
+    return result.returncode
+
+
+EXPERIMENTS = {
+    # The four headline Flickr8k configs (reference train_models.py:15-57).
+    "plain-att": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                  "--attention"],
+    "plain-noatt": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado"],
+    "bert-att": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                 "--attention", "--bert"],
+    "bert-noatt": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                   "--bert"],
+    # Smoke config (README.md:51 quick-run flags).
+    "smoke": ["--data=data/flickr8k", "--epochs=1", "--frac=0.02",
+              "--log-interval=2", "--tf", "--ado", "--attention"],
+}
+
+
+def main():
+    names = sys.argv[1:] or ["plain-att", "plain-noatt", "bert-att", "bert-noatt"]
+    for name in names:
+        if name not in EXPERIMENTS:
+            print(f"Unknown experiment '{name}'. Known: {sorted(EXPERIMENTS)}")
+            sys.exit(2)
+        run_script("train.py", EXPERIMENTS[name])
+
+
+if __name__ == "__main__":
+    main()
