@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 256
+BATCH = 64
 BEAM = 5
 VOCAB = 2633      # Flickr8k-scale vocabulary
 ENC_DIM = 512
@@ -56,10 +56,14 @@ def measure_tpu() -> float:
         size=(BATCH, 224, 224, 3)).astype(np.float32)
     jax.block_until_ready(caption(enc_params, dec_params, imgs))  # compile
     jax.block_until_ready(caption(enc_params, dec_params, imgs))  # warm
-    n_iters, t0 = 5, time.perf_counter()
-    for _ in range(n_iters):
+    # The tunneled chip's effective speed fluctuates over time; report the
+    # median of several independently-timed iterations.
+    times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
         jax.block_until_ready(caption(enc_params, dec_params, imgs))
-    dt = (time.perf_counter() - t0) / n_iters
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     return BATCH / dt
 
 

@@ -49,6 +49,10 @@ class DecoderConfig:
     use_bert: bool = False
     use_attention: bool = False
     dropout_rate: float = 0.5
+    # Inference-only: route the attention block through the Pallas fused
+    # kernel (sat_tpu.ops.fused_attention). Matches XLA numerics; has no
+    # VJP, so keep False for training forwards.
+    fused_attention: bool = False
 
     @property
     def embedding_size(self) -> int:
@@ -132,7 +136,12 @@ def decode_step(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     """
     L = features.shape[1]
     if cfg.use_attention:
-        context, alpha = soft_attention(params["attention"], features, h, keys)
+        if cfg.fused_attention:
+            from sat_tpu.ops.fused_attention import fused_soft_attention
+            context, alpha = fused_soft_attention(params["attention"],
+                                                  features, h, keys)
+        else:
+            context, alpha = soft_attention(params["attention"], features, h, keys)
         gate = jax.nn.sigmoid(h @ params["f_beta"]["w"] + params["f_beta"]["b"])
         gated_context = gate * context
     else:

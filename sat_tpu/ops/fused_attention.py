@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: fused soft-attention decode block.
+
+Computes, entirely in VMEM per batch tile (no HBM round-trip for the big
+(B, L, E) intermediate that the unfused XLA graph materializes):
+
+    att   = tanh(keys + u_h[:, None, :])      (Bt, L, E)
+    e     = att . v + b_v                     (Bt, L)
+    alpha = softmax(e)                        (Bt, L)
+    ctx   = sum_l alpha_l * features_l        (Bt, D)
+
+`keys = W·a + b_W` and `u_h = U·h + b_U` stay plain XLA matmuls (MXU work
+XLA already schedules optimally); the kernel absorbs everything between
+them and the context reduction — the memory-bound middle of every decode
+step (51 of them per beam search).
+
+Numerics match sat_tpu.models.attention.soft_attention to float32 rounding;
+equivalence is tested in interpret mode on CPU and on-device on TPU.
+
+Measured status (TPU v5e, B=320, L=196, E=D=512): the kernel exactly ties
+XLA's fused lowering on the flat-batch attention block (~±1%) — XLA already
+avoids materializing the (B, L, E) intermediate here — and *loses* badly
+inside `vmap`-of-`while_loop` beam search, where the pallas batching rule
+serializes per-image kernel launches. It therefore stays opt-in
+(DecoderConfig.fused_attention) for flat-batch decode paths and as the base
+for future fused-step work; the default decode path keeps XLA's fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_B = 8
+
+
+def _attention_kernel(keys_ref, feats_ref, u_h_ref, v_ref, bv_ref,
+                      ctx_ref, alpha_ref):
+    # This block is HBM-bandwidth-bound, not FLOP-bound, so everything runs
+    # on the VPU as elementwise + reduce (Mosaic cannot lower batched 3D
+    # dot_general anyway); the payoff is keeping the (Bt, L, E) tanh
+    # intermediate in VMEM instead of round-tripping it through HBM.
+    att = jnp.tanh(keys_ref[:] + u_h_ref[:][:, None, :])      # (Bt, L, E)
+    e = (att * v_ref[:][None, :, :]).sum(axis=-1) + bv_ref[0, 0]  # (Bt, L)
+    alpha = jax.nn.softmax(e, axis=-1)
+    alpha_ref[:] = alpha
+    ctx_ref[:] = (feats_ref[:] * alpha[:, :, None]).sum(axis=1)  # (Bt, D)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_attention_block(keys: jnp.ndarray, features: jnp.ndarray,
+                          u_h: jnp.ndarray, v_w: jnp.ndarray,
+                          v_b: jnp.ndarray, block_b: int = DEFAULT_BLOCK_B,
+                          interpret: bool = False):
+    """keys (B, L, E), features (B, L, D), u_h (B, E), v_w (E, 1), v_b (1,)
+    -> (context (B, D), alpha (B, L))."""
+    B, L, E = keys.shape
+    D = features.shape[-1]
+    bt = min(block_b, B)
+    pad = (-B) % bt
+    if pad:
+        keys = jnp.pad(keys, ((0, pad), (0, 0), (0, 0)))
+        features = jnp.pad(features, ((0, pad), (0, 0), (0, 0)))
+        u_h = jnp.pad(u_h, ((0, pad), (0, 0)))
+    Bp = B + pad
+    v_row = v_w.reshape(1, E)            # row layout: broadcasts on lanes
+    bv = v_b.reshape(1, 1)
+
+    grid = (Bp // bt,)
+    ctx, alpha = pl.pallas_call(
+        _attention_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, L, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * L * (E + D),
+            bytes_accessed=4 * Bp * L * (E + D),
+            transcendentals=Bp * L * (E + 1),
+        ),
+        interpret=interpret,
+    )(keys, features, u_h, v_row, bv)
+    if pad:
+        ctx, alpha = ctx[:B], alpha[:B]
+    return ctx, alpha
+
+
+def fused_soft_attention(params: dict, features: jnp.ndarray,
+                         hidden: jnp.ndarray, keys: jnp.ndarray,
+                         interpret: bool | None = None):
+    """Drop-in for sat_tpu.models.attention.soft_attention using the Pallas
+    kernel for the fused middle. params: the attention param subtree.
+    On non-TPU backends the kernel runs in interpret mode automatically."""
+    if interpret is None:
+        # Compile for real TPU backends (incl. the 'axon' PJRT plugin);
+        # interpret elsewhere (CPU test meshes).
+        interpret = jax.default_backend() == "cpu"
+    u_h = hidden @ params["U"]["w"] + params["U"]["b"]
+    return fused_attention_block(keys, features, u_h, params["v"]["w"],
+                                 params["v"]["b"], interpret=interpret)
