@@ -31,8 +31,25 @@ def preprocess_pil(img: Image.Image, size: int = constants.IMAGE_SIZE) -> np.nda
     return (arr - _MEAN) / _STD
 
 
-def load_and_preprocess_image(path: str, size: int = constants.IMAGE_SIZE) -> np.ndarray:
-    return preprocess_pil(pil_loader(path), size)
+def load_and_preprocess_image(path: str, size: int = constants.IMAGE_SIZE,
+                              use_native: bool | None = None) -> np.ndarray:
+    """Load + resize + normalize one image.
+
+    `use_native` routes resize+normalize through the fused C++ kernel
+    (sat_tpu.data.native) instead of PIL; default is the environment toggle
+    SAT_NATIVE_PREPROC=1. PIL remains the parity path (it matches the
+    reference's torchvision transforms bit-for-bit); the native path is the
+    throughput option (different but visually identical bilinear kernel).
+    """
+    import os
+    if use_native is None:
+        use_native = os.environ.get("SAT_NATIVE_PREPROC") == "1"
+    img = pil_loader(path)
+    if use_native:
+        from sat_tpu.data import native
+        if native.available():
+            return native.resize_normalize(np.asarray(img, np.uint8), size)
+    return preprocess_pil(img, size)
 
 
 def denormalize(img: np.ndarray) -> np.ndarray:
