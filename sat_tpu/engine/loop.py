@@ -130,6 +130,7 @@ class Trainer:
         self.n_data = self.mesh.shape["data"]
 
         self.state = init_train_state(dec_params)
+        self._host_step = 0   # mirrors state.step without device syncs
         self.start_epoch = 1
         if cfg.resume:
             step = ckpt.latest_train_state_step(cfg.checkpoint_dir)
@@ -138,6 +139,7 @@ class Trainer:
                 tmpl = {"state": self.state, "epoch": 0}
                 restored = ckpt.restore_train_state(cfg.checkpoint_dir, step, tmpl)
                 self.state = TrainState(*restored["state"])
+                self._host_step = int(self.state.step)
                 self.start_epoch = int(restored["epoch"]) + 1
 
         # ---- data ----
@@ -192,10 +194,14 @@ class Trainer:
         for batch_idx, (imgs, captions, _) in enumerate(self.train_loader.epoch(epoch)):
             (imgs, captions), _ = _pad_batch([imgs, captions], self.n_data)
             imgs, captions = self._put(imgs, captions)
-            rng = jax.random.fold_in(self.dropout_rng, int(self.state.step))
-            self.state, metrics = self.train_step(
-                self.state, self.enc_params, imgs, captions,
-                jnp.float32(lr), rng)
+            # Host-side step counter: folding in state.step would force a
+            # device sync before every dispatch.
+            rng = jax.random.fold_in(self.dropout_rng, self._host_step)
+            with jax.profiler.StepTraceAnnotation("train", step_num=self._host_step):
+                self.state, metrics = self.train_step(
+                    self.state, self.enc_params, imgs, captions,
+                    jnp.float32(lr), rng)
+            self._host_step += 1
 
             n = int(metrics["caption_length"])
             losses.update(float(metrics["loss"]), n)

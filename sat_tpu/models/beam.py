@@ -139,6 +139,41 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     return jax.vmap(lambda f: beam_search(params, cfg, f, beam_size, max_steps))(features)
 
 
+def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
+                   max_steps: int = constants.BEAM_MAX_STEPS):
+    """Greedy (argmax) decode of a batch of images — the beam=1 fast path
+    without top-k machinery. features: (B, L, D).
+
+    Returns (tokens (B, max_steps), lengths (B,)): tokens after each row's
+    first stop id are padded with it; `lengths` is the index of that stop
+    (== max_steps when none was emitted).
+    """
+    B = features.shape[0]
+    stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
+                      else constants.BEAM_STOP_VANILLA)
+    keys = precompute_attention_keys(params["attention"], features)
+    h, c = init_lstm_state(params, features)
+    start = jnp.full((B,), cfg.start_token, jnp.int32)
+
+    def step(carry, _):
+        h, c, prev, done = carry
+        emb = embed_tokens(params, cfg, prev)
+        h, c, logits, _, _ = decode_step(params, cfg, features, keys, h, c,
+                                         emb, None)
+        nxt = logits.argmax(axis=1).astype(jnp.int32)
+        nxt = jnp.where(done, prev, nxt)
+        done = done | (nxt == stop_a) | (nxt == stop_b)
+        return (h, c, nxt, done), nxt
+
+    (_, _, _, done), toks = jax.lax.scan(
+        step, (h, c, start, jnp.zeros((B,), bool)), None, length=max_steps)
+    toks = jnp.swapaxes(toks, 0, 1)                     # (B, max_steps)
+    is_stop = (toks == stop_a) | (toks == stop_b)
+    lengths = jnp.where(is_stop.any(axis=1),
+                        is_stop.argmax(axis=1), max_steps)
+    return toks, lengths
+
+
 def extract_caption(result: BeamResult):
     """Host-side unpacking with the reference's fallback semantics
     (decoder.py:256-258): no completed sentence -> `[0]` and the final

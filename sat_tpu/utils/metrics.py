@@ -16,6 +16,19 @@ import jax
 import jax.numpy as jnp
 
 
+def legacy_accuracy(preds: jnp.ndarray, targets: jnp.ndarray, k: int) -> jnp.ndarray:
+    """The reference's original, acknowledged-flawed top-k accuracy
+    (reference utils.py:22-42), kept for parity with its commentary: it
+    counts padding predictions as correct, mishandles k>1 (requires the
+    target in a fixed top-k slot), and normalizes by flattened length when
+    fed packed sequences. Superseded by `sequence_accuracy`; not used by the
+    training loop. preds: (N, V); targets: (N,)."""
+    batch_size = targets.shape[0]
+    _, pred = jax.lax.top_k(preds, k)
+    correct = (pred == targets[:, None])
+    return correct.sum() * (100.0 / batch_size)
+
+
 def sequence_accuracy(preds: jnp.ndarray, targets: jnp.ndarray, k: int,
                       ignore_index: int = 0) -> jnp.ndarray:
     """Top-k token accuracy over non-padding positions, as a percentage.

@@ -29,6 +29,19 @@ EXPERIMENTS = {
     # Smoke config (README.md:51 quick-run flags).
     "smoke": ["--data=data/flickr8k", "--epochs=1", "--frac=0.02",
               "--log-interval=2", "--tf", "--ado", "--attention"],
+    # Sweep templates (reference train_models.py:59-135 runs batch/lr sweeps
+    # and fine-tune-from-checkpoint variants of the headline configs).
+    "plain-att-bs32": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                       "--attention", "--batch-size=32"],
+    "plain-att-bs128": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                        "--attention", "--batch-size=128"],
+    "plain-att-lr3e4": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                        "--attention", "--lr=3e-4"],
+    "plain-att-finetune": ["--data=data/flickr8k", "--epochs=4", "--tf",
+                           "--ado", "--attention",
+                           "--model=model/model_vgg19_8.npz"],
+    "resnet-att": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
+                   "--attention", "--network=resnet152"],
 }
 
 
