@@ -129,14 +129,130 @@ def beam_search(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                       found=final["found"], fallback_alpha=final["last_alpha0"])
 
 
+def beam_search_vmapped(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
+                        beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS) -> BeamResult:
+    """vmap of `beam_search` over a batch of images (kept as the simple
+    reference formulation; `beam_search_batched` below is the serving path)."""
+    return jax.vmap(lambda f: beam_search(params, cfg, f, beam_size, max_steps))(features)
+
+
 def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS) -> BeamResult:
-    """vmap of `beam_search` over a batch of images: features (B, L, D).
+    """Natively batched beam search: features (B, L, D) -> BeamResult with
+    leading batch dim B.
 
-    This is the TPU serving path — every image's beam runs in lockstep on
-    device; the reference can only caption one image per Python loop.
+    The TPU serving path. Instead of `vmap`-of-`while_loop` (which lowers
+    poorly and serializes any custom kernels), all B beams advance in one
+    `lax.while_loop` over flat (B*K) decode rows, with a single batched
+    `top_k` over (B, K*V); per-image bookkeeping (live counts, running
+    best) is vectorized and finished images freeze in place. Semantics are
+    identical to `beam_search` (which is golden-tested token-exact against
+    the reference) — asserted in tests across seeds and configs.
     """
-    return jax.vmap(lambda f: beam_search(params, cfg, f, beam_size, max_steps))(features)
+    B, L, D = features.shape
+    K = beam_size
+    V = cfg.effective_vocab_size
+    stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
+                      else constants.BEAM_STOP_VANILLA)
+
+    feats_flat = jnp.broadcast_to(features[:, None], (B, K, L, D)).reshape(B * K, L, D)
+    keys_flat = precompute_attention_keys(params["attention"], feats_flat)
+    h0, c0 = init_lstm_state(params, feats_flat)     # (B*K, E)
+
+    T = 1 + max_steps
+    init = dict(
+        sentences=jnp.full((B, K, T), cfg.start_token, jnp.int32),
+        alph_hist=jnp.concatenate(
+            [jnp.ones((B, K, 1, L), features.dtype),
+             jnp.zeros((B, K, T - 1, L), features.dtype)], axis=2),
+        scores=jnp.zeros((B, K), features.dtype),
+        h=h0, c=c0,
+        prev=jnp.full((B, K), cfg.start_token, jnp.int32),
+        live=jnp.broadcast_to(jnp.arange(K) == 0, (B, K)),
+        live_count=jnp.full((B,), K, jnp.int32),
+        step=jnp.int32(1),
+        best_score=jnp.full((B,), -jnp.inf, jnp.float32),
+        best_tokens=jnp.zeros((B, T), jnp.int32),
+        best_len=jnp.zeros((B,), jnp.int32),
+        best_alphas=jnp.zeros((B, T, L), features.dtype),
+        found=jnp.zeros((B,), bool),
+        last_alpha0=jnp.zeros((B, L), features.dtype),
+    )
+
+    def cond(s):
+        return (s["live_count"] > 0).any() & (s["step"] <= max_steps)
+
+    def body(s):
+        active = s["live_count"] > 0                     # (B,) image not done
+
+        emb = embed_tokens(params, cfg, s["prev"].reshape(B * K))
+        h2, c2, logits, alpha, _ = decode_step(
+            params, cfg, feats_flat, keys_flat, s["h"], s["c"], emb, None)
+        logits = logits.reshape(B, K, V)
+        alpha_bk = alpha.reshape(B, K, L)
+
+        cand = s["scores"][..., None] + logits
+        cand = jnp.where(s["live"][..., None], cand, -jnp.inf)
+        values, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # (B, K)
+        parent = flat_idx // V
+        word = (flat_idx % V).astype(jnp.int32)
+        valid = jnp.arange(K)[None, :] < s["live_count"][:, None]
+
+        step = s["step"]
+        take = lambda arr, idx: jnp.take_along_axis(arr, idx, axis=1)
+        new_sent = take(s["sentences"], parent[..., None]).at[:, :, step].set(word)
+        new_alph = take(s["alph_hist"], parent[..., None, None]).at[:, :, step, :].set(
+            take(alpha_bk, parent[..., None]))
+
+        is_stop = (word == stop_a) | (word == stop_b)
+        completed = valid & is_stop
+
+        comp_scores = jnp.where(completed, values, -jnp.inf)    # (B, K)
+        bi = jnp.argmax(comp_scores, axis=1)                    # lowest rank on ties
+        step_best = jnp.take_along_axis(comp_scores, bi[:, None], axis=1)[:, 0]
+        improved = active & (step_best > s["best_score"])
+
+        live_new = valid & ~is_stop & active[:, None]
+
+        h2 = take(h2.reshape(B, K, -1), parent[..., None])
+        c2 = take(c2.reshape(B, K, -1), parent[..., None])
+
+        def freeze(new, old):
+            """Keep finished images' state untouched."""
+            mask = active.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        def sel(arr):
+            idx = bi.reshape((B, 1) + (1,) * (arr.ndim - 2))
+            return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+        imp = lambda new, old: jnp.where(
+            improved.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+
+        return dict(
+            sentences=freeze(new_sent, s["sentences"]),
+            alph_hist=freeze(new_alph, s["alph_hist"]),
+            scores=freeze(jnp.where(live_new, values, -jnp.inf), s["scores"]),
+            h=jnp.where(active[:, None, None], h2,
+                        s["h"].reshape(B, K, -1)).reshape(B * K, -1),
+            c=jnp.where(active[:, None, None], c2,
+                        s["c"].reshape(B, K, -1)).reshape(B * K, -1),
+            prev=freeze(word, s["prev"]),
+            live=live_new,
+            live_count=s["live_count"] - jnp.where(active, completed.sum(axis=1), 0),
+            step=step + 1,
+            best_score=imp(step_best, s["best_score"]),
+            best_tokens=imp(sel(new_sent), s["best_tokens"]),
+            best_len=imp(jnp.full((B,), step, jnp.int32), s["best_len"]),
+            best_alphas=imp(sel(new_alph), s["best_alphas"]),
+            found=s["found"] | (active & completed.any(axis=1)),
+            last_alpha0=freeze(alpha_bk[:, 0, :], s["last_alpha0"]),
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return BeamResult(tokens=final["best_tokens"], length=final["best_len"],
+                      alphas=final["best_alphas"], score=final["best_score"],
+                      found=final["found"], fallback_alpha=final["last_alpha0"])
 
 
 def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,

@@ -20,9 +20,11 @@ Measured status (TPU v5e, B=320, L=196, E=D=512): the kernel exactly ties
 XLA's fused lowering on the flat-batch attention block (~±1%) — XLA already
 avoids materializing the (B, L, E) intermediate here — and *loses* badly
 inside `vmap`-of-`while_loop` beam search, where the pallas batching rule
-serializes per-image kernel launches. It therefore stays opt-in
-(DecoderConfig.fused_attention) for flat-batch decode paths and as the base
-for future fused-step work; the default decode path keeps XLA's fusion.
+serializes per-image kernel launches. The natively-batched beam
+(sat_tpu.models.beam.beam_search_batched) runs flat (B*K) decode rows with
+no vmap, and there the kernel ties XLA again (~±1%). It stays opt-in
+(DecoderConfig.fused_attention) as the base for future fused-step work;
+the default decode path keeps XLA's fusion, which is already optimal here.
 """
 
 from __future__ import annotations
