@@ -81,6 +81,7 @@ class Config:
     checkpoint_dir: str = "model"
     resume: bool = False         # auto-resume from latest orbax checkpoint
     bert_embeddings: Optional[str] = None  # .npy with the frozen 30522x768 table
+    bert_vocab: Optional[str] = None       # local bert vocab.txt (offline tokenizer)
     encoder_weights: Optional[str] = None  # ported pretrained encoder params (.npz)
     log_jsonl: Optional[str] = None        # JSONL metrics sink
     wandb: bool = False          # enable W&B backend when the package exists
@@ -182,6 +183,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="resume from the latest checkpoint in checkpoint-dir")
     parser.add_argument("--bert-embeddings", type=str, default=None,
                         help=".npy file with the frozen BERT embedding table")
+    parser.add_argument("--bert-vocab", type=str, default=None,
+                        help="local bert-base-uncased vocab.txt (offline)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

@@ -86,7 +86,7 @@ class Trainer:
         self.tokenizer = None
         if cfg.bert:
             from sat_tpu.data.bert_prep import get_bert_tokenizer
-            self.tokenizer = get_bert_tokenizer()
+            self.tokenizer = get_bert_tokenizer(cfg.bert_vocab)
             self.word_dict = None
             vocabulary_size = constants.BERT_VOCAB_SIZE
         else:

@@ -36,3 +36,20 @@ def build_synth_dataset(root, n_train=4, n_val=2, n_test=2, caps_per_img=3,
     with open(f"{root}/dataset.json", "w") as f:
         json.dump(split, f)
     return split
+
+
+def write_synthetic_bert_vocab(path, words=None):
+    """A full 30522-line vocab.txt with bert-base-uncased's special-token
+    layout ([PAD]=0, [unused*]=1-99, [UNK]=100, [CLS]=101, [SEP]=102,
+    [MASK]=103), so BertTokenizer works offline with the real special ids
+    the framework pins in sat_tpu.constants."""
+    words = list(words or WORDS)
+    lines = ["[PAD]"]
+    lines += [f"[unused{i}]" for i in range(99)]
+    lines += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    lines += words
+    while len(lines) < 30522:
+        lines.append(f"[filler{len(lines)}]")
+    with open(path, "w") as f:
+        f.write("\n".join(lines[:30522]) + "\n")
+    return path
