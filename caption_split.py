@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Batched beam-search captioning of a whole dataset split.
+
+The serving-scale decode path: every batch of images runs image->encoder->
+batched fixed-shape beam as one jitted TPU program
+(sat_tpu.models.beam.beam_search_batched); the reference can only caption
+one image per Python loop (generate_caption.py). Writes one JSON object per
+image (path, caption tokens, raw beam score) and reports free-running
+corpus BLEU-1..4 against the split's reference captions plus throughput.
+
+    python caption_split.py --model model/model_vgg19_8.npz \
+        --split test --beam-size 5 --batch-size 64 --out captions.jsonl
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Batched split captioning")
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--model-config", type=str, default=None)
+    parser.add_argument("--split", choices=["train", "val", "test"],
+                        default="test")
+    parser.add_argument("--beam-size", type=int, default=5)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--fraction", type=float, default=1.0)
+    parser.add_argument("--out", type=str, default=None,
+                        help="JSONL output path (default: stdout summary only)")
+    parser.add_argument("--encoder-weights", type=str, default=None)
+    parser.add_argument("--bert-vocab", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+    from generate_caption import load_model
+    from sat_tpu.data import CaptionDataset, BatchLoader
+    from sat_tpu.engine.evaluate import (build_token_dict, compute_bleu,
+                                         decode_caption, decode_caption_bert)
+    from sat_tpu.models.beam import beam_search_batched, extract_caption
+    from sat_tpu.models.encoder import encoder_forward
+
+    cfg, dcfg, enc_params, dec_params, word_dict, tokenizer = load_model(
+        args.model, args.model_config, encoder_weights=args.encoder_weights,
+        bert_vocab=args.bert_vocab)
+
+    ds = CaptionDataset(cfg.data, args.split, fraction=args.fraction,
+                        bert=cfg.bert, image_size=cfg.image_size)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False)
+    token_dict = build_token_dict(word_dict) if word_dict else None
+
+    def decode(tokens):
+        if cfg.bert:
+            return decode_caption_bert(tokens, tokenizer)
+        return decode_caption(tokens, word_dict, token_dict)
+
+    @jax.jit
+    def caption_batch(e, d, imgs):
+        feats = encoder_forward(e, cfg.network, imgs)
+        return beam_search_batched(d, dcfg, feats, args.beam_size)
+
+    out_f = open(args.out, "w") if args.out else None
+    hypotheses, all_refs = [], []
+    n_imgs, t_total = 0, 0.0
+    row = 0
+    for imgs, _, all_captions in loader.epoch(0):
+        t0 = time.perf_counter()
+        result = jax.block_until_ready(
+            caption_batch(enc_params, dec_params, imgs))
+        t_total += time.perf_counter() - t0
+        n_imgs += len(imgs)
+        for i in range(len(imgs)):
+            res_i = jax.tree_util.tree_map(lambda x: x[i], result)
+            tokens, _ = extract_caption(res_i)
+            words = decode(tokens)
+            hypotheses.append(words)
+            all_refs.append([decode(c) for c in all_captions[i].tolist()])
+            if out_f:
+                out_f.write(json.dumps({
+                    "img_path": ds.img_paths[row],
+                    "caption": " ".join(words),
+                    "score": float(res_i.score),
+                    "completed": bool(res_i.found)}) + "\n")
+            row += 1
+    if out_f:
+        out_f.close()
+
+    bleu = compute_bleu(all_refs, hypotheses)
+    print(json.dumps({
+        "split": args.split, "images": n_imgs,
+        "beam_size": args.beam_size,
+        "captions_per_sec": round(n_imgs / max(t_total, 1e-9), 2),
+        **{k: round(v, 4) for k, v in bleu.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ import numpy as np
 
 
 def load_model(model_path=None, model_config_path=None, wandb_run=None,
-               wandb_model=None, encoder_weights=None):
+               wandb_model=None, encoder_weights=None, bert_vocab=None):
     import jax
     from sat_tpu.config import Config
     from sat_tpu.engine.checkpoint import load_decoder_checkpoint
@@ -50,7 +50,7 @@ def load_model(model_path=None, model_config_path=None, wandb_run=None,
     tokenizer = None
     if cfg.bert:
         from sat_tpu.data.bert_prep import get_bert_tokenizer
-        tokenizer = get_bert_tokenizer()
+        tokenizer = get_bert_tokenizer(bert_vocab)
         vocabulary_size = 30522
     else:
         word_dict = json.load(open(cfg.data + "/word_dict.json"))
@@ -132,11 +132,13 @@ def main():
                         help="output path for the attention figure")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help="ported pretrained encoder .npz")
+    parser.add_argument("--bert-vocab", type=str, default=None,
+                        help="local bert vocab.txt (offline tokenizer)")
     args = parser.parse_args()
 
     cfg, dcfg, enc_params, dec_params, word_dict, tokenizer = load_model(
         args.model, args.model_config, args.wandb_run, args.wandb_model,
-        args.encoder_weights)
+        args.encoder_weights, args.bert_vocab)
     generate_caption_visualization(args.img_path, cfg, dcfg, enc_params,
                                    dec_params, word_dict, tokenizer,
                                    beam_size=args.beam_size, out_path=args.out)

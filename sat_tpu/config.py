@@ -88,6 +88,10 @@ class Config:
     debug_nans: bool = False     # jax_debug_nans toggle
     profile_dir: Optional[str] = None      # jax.profiler trace output dir
     image_size: int = 224        # input resolution (224 = reference parity)
+    cache_features: bool = False # precompute frozen-encoder annotation grids
+                                 # once per unique image; numerically
+                                 # identical (encoder is frozen + eval mode),
+                                 # epochs then cost decoder-only FLOPs
 
     @property
     def encoder_dim(self) -> int:
@@ -185,6 +189,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help=".npy file with the frozen BERT embedding table")
     parser.add_argument("--bert-vocab", type=str, default=None,
                         help="local bert-base-uncased vocab.txt (offline)")
+    parser.add_argument("--cache-features", action="store_true", default=False,
+                        help="precompute frozen-encoder features once per "
+                             "image; identical numerics, much faster epochs")
+    parser.add_argument("--image-size", type=int, default=224,
+                        help="input resolution (224 = reference parity)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

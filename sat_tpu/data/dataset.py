@@ -106,7 +106,8 @@ class BatchLoader:
     def __init__(self, dataset: CaptionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 42,
                  shard_index: int = 0, shard_count: int = 1,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False,
+                 with_indices: bool = False, load_images: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -115,6 +116,12 @@ class BatchLoader:
         self.shard_count = shard_count
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # with_indices appends the dataset row indices as a 4th element —
+        # the feature-cache path keys precomputed annotation grids by row.
+        # load_images=False skips image decode entirely (imgs comes back
+        # None), for consumers that only need captions + indices.
+        self.with_indices = with_indices
+        self.load_images = load_images
 
     def batches_per_epoch(self) -> int:
         n = len(self.dataset) // self.shard_count
@@ -133,9 +140,12 @@ class BatchLoader:
         return order[start:start + per_shard] if self.shard_count > 1 else order
 
     def _make_batch(self, idxs: np.ndarray):
-        imgs = np.stack([self.dataset.load_image(i) for i in idxs])
+        imgs = (np.stack([self.dataset.load_image(i) for i in idxs])
+                if self.load_images else None)
         captions = self.dataset.captions[idxs]
         all_captions = self.dataset.all_captions[idxs]
+        if self.with_indices:
+            return imgs, captions, all_captions, np.asarray(idxs)
         return imgs, captions, all_captions
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

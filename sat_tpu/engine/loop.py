@@ -145,29 +145,47 @@ class Trainer:
         # ---- data ----
         shard_index = jax.process_index()
         shard_count = jax.process_count()
+        cache_imgs = not cfg.cache_features
         t0 = time.time()
-        self.train_loader = BatchLoader(
-            CaptionDataset(cfg.data, "train", cfg.fraction, cfg.bert,
-                           image_size=cfg.image_size),
-            cfg.batch_size, shuffle=True, seed=cfg.seed,
-            shard_index=shard_index, shard_count=shard_count)
+
+        def make_loader(split, load_images):
+            ds = CaptionDataset(cfg.data, split, cfg.fraction, cfg.bert,
+                                cache_images=cache_imgs,
+                                image_size=cfg.image_size)
+            loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
+                                 seed=cfg.seed, shard_index=shard_index,
+                                 shard_count=shard_count, with_indices=True,
+                                 load_images=load_images)
+            loader.split = split
+            return loader
+
+        # With the feature cache, train/val never touch pixels again after
+        # precompute; the test loader keeps images for attention viz.
+        self.train_loader = make_loader("train", load_images=cache_imgs)
         print(f"Time to load train dataset: {time.time() - t0} seconds")
-        self.val_loader = BatchLoader(
-            CaptionDataset(cfg.data, "val", cfg.fraction, cfg.bert,
-                           image_size=cfg.image_size),
-            cfg.batch_size, shuffle=True, seed=cfg.seed,
-            shard_index=shard_index, shard_count=shard_count)
-        self.test_loader = BatchLoader(
-            CaptionDataset(cfg.data, "test", cfg.fraction, cfg.bert,
-                           image_size=cfg.image_size),
-            cfg.batch_size, shuffle=True, seed=cfg.seed,
-            shard_index=shard_index, shard_count=shard_count)
+        self.val_loader = make_loader("val", load_images=cache_imgs)
+        self.test_loader = make_loader("test", load_images=True)
+
+        # ---- frozen-encoder feature cache ----
+        self.features, self.row_map = {}, {}
+        if cfg.cache_features:
+            t0 = time.time()
+            for loader in (self.train_loader, self.val_loader,
+                           self.test_loader):
+                feats, rows = self._precompute_split_features(loader.dataset)
+                self.features[loader.split] = feats
+                self.row_map[loader.split] = rows
+            n = sum(f.shape[0] for f in self.features.values())
+            print(f"Precomputed frozen-encoder features for {n} unique "
+                  f"images in {time.time() - t0:.1f}s")
 
         # ---- steps ----
         self.train_step = make_train_step(self.dcfg, cfg.network, cfg.alpha_c,
-                                          cfg.bf16_encoder)
+                                          cfg.bf16_encoder,
+                                          from_features=cfg.cache_features)
         self.eval_step = make_eval_step(self.dcfg, cfg.network, cfg.alpha_c,
-                                        cfg.bf16_encoder)
+                                        cfg.bf16_encoder,
+                                        from_features=cfg.cache_features)
 
         print(f"Starting training with {cfg}")
         print("Encoder parameters (frozen):")
@@ -184,6 +202,40 @@ class Trainer:
         return (jax.device_put(imgs, self.batch_sharding),
                 jax.device_put(captions, self.batch_sharding))
 
+    def _precompute_split_features(self, ds, batch: int = 16):
+        """Encode each unique image once; returns (features (U, L, D) np,
+        row_map (N,) mapping dataset rows to feature rows)."""
+        import jax.numpy as _jnp
+        cfg = self.cfg
+        first_row = {}
+        for i, p in enumerate(ds.img_paths):
+            first_row.setdefault(p, i)
+        unique = list(first_row)
+        compute_dtype = _jnp.bfloat16 if cfg.bf16_encoder else None
+        from sat_tpu.models.encoder import encoder_forward
+        enc_fn = jax.jit(lambda e, x: encoder_forward(e, cfg.network, x,
+                                                      compute_dtype))
+        chunks = []
+        for start in range(0, len(unique), batch):
+            chunk = unique[start:start + batch]
+            imgs = np.stack([ds.load_image(first_row[p]) for p in chunk])
+            if len(chunk) < batch:  # pad to one static shape (2nd compile saved)
+                imgs = np.concatenate(
+                    [imgs, np.zeros((batch - len(chunk),) + imgs.shape[1:],
+                                    imgs.dtype)])
+            chunks.append(np.asarray(enc_fn(self.enc_params, imgs))[:len(chunk)])
+        path_idx = {p: i for i, p in enumerate(unique)}
+        row_map = np.asarray([path_idx[p] for p in ds.img_paths], np.int32)
+        feats = (np.concatenate(chunks) if chunks
+                 else np.zeros((0, 1, cfg.encoder_dim), np.float32))
+        return feats, row_map
+
+    def _step_inputs(self, split, imgs, idxs):
+        """First step argument: cached features or raw images."""
+        if self.cfg.cache_features:
+            return self.features[split][self.row_map[split][idxs]]
+        return imgs
+
     def train_epoch(self, epoch: int) -> None:
         print(f"Epoch {epoch} - Starting train")
         cfg = self.cfg
@@ -191,9 +243,10 @@ class Trainer:
         losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
         n_batches = self.train_loader.batches_per_epoch()
 
-        for batch_idx, (imgs, captions, _) in enumerate(self.train_loader.epoch(epoch)):
-            (imgs, captions), _ = _pad_batch([imgs, captions], self.n_data)
-            imgs, captions = self._put(imgs, captions)
+        for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
+            inputs = self._step_inputs("train", imgs, idxs)
+            (inputs, captions), _ = _pad_batch([inputs, captions], self.n_data)
+            imgs, captions = self._put(inputs, captions)
             # Host-side step counter: folding in state.step would force a
             # device sync before every dispatch.
             rng = jax.random.fold_in(self.dropout_rng, self._host_step)
@@ -236,8 +289,9 @@ class Trainer:
         viz_count = 0
         viz_dir = os.path.join(cfg.checkpoint_dir, f"attention_viz_epoch{epoch}")
 
-        for batch_idx, (imgs, captions, all_captions) in enumerate(loader.epoch(epoch)):
-            (p_imgs, p_captions), n_real = _pad_batch([imgs, captions], self.n_data)
+        for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
+            inputs = self._step_inputs(loader.split, imgs, idxs)
+            (p_imgs, p_captions), n_real = _pad_batch([inputs, captions], self.n_data)
             d_imgs, d_captions = self._put(p_imgs, p_captions)
             metrics, pred_tokens, alphas = self.eval_step(
                 self.state.params, self.enc_params, d_imgs, d_captions)

@@ -78,15 +78,24 @@ def _loss_and_metrics(dcfg: DecoderConfig, alpha_c: float, params, features,
 
 
 def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
-                    bf16_encoder: bool = False):
+                    bf16_encoder: bool = False, from_features: bool = False):
     """Returns jitted `step(state, enc_params, imgs, captions, lr, rng)
-    -> (state, metrics)`."""
+    -> (state, metrics)`.
+
+    With `from_features=True` the third argument is the precomputed
+    annotation grid (B, L, D) and the encoder is skipped entirely — the
+    feature-cache training path (identical numerics: the encoder is frozen
+    and always in eval mode, reference train.py:122 + encoder.py:29-31).
+    """
     tx = make_optimizer()
     compute_dtype = jnp.bfloat16 if bf16_encoder else None
 
     def step_fn(state: TrainState, enc_params, imgs, captions, lr, rng):
-        features = jax.lax.stop_gradient(
-            encoder_forward(enc_params, network, imgs, compute_dtype))
+        if from_features:
+            features = imgs
+        else:
+            features = jax.lax.stop_gradient(
+                encoder_forward(enc_params, network, imgs, compute_dtype))
 
         (loss, aux), grads = jax.value_and_grad(
             lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
@@ -105,16 +114,20 @@ def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
 
 
 def make_eval_step(dcfg: DecoderConfig, network: str, alpha_c: float,
-                   bf16_encoder: bool = False):
+                   bf16_encoder: bool = False, from_features: bool = False):
     """Returns jitted `eval(params, enc_params, imgs, captions)
     -> (metrics, pred_tokens (B,T), alphas (B,T,L))`.
 
     Only argmax token ids leave the device (the reference ships full logits
-    to host for `torch.max`, train.py:272,297)."""
+    to host for `torch.max`, train.py:272,297). `from_features=True` takes
+    precomputed annotation grids instead of images."""
     compute_dtype = jnp.bfloat16 if bf16_encoder else None
 
     def eval_fn(params, enc_params, imgs, captions):
-        features = encoder_forward(enc_params, network, imgs, compute_dtype)
+        if from_features:
+            features = imgs
+        else:
+            features = encoder_forward(enc_params, network, imgs, compute_dtype)
         _, (metrics, preds, alphas) = _loss_and_metrics(
             dcfg, alpha_c, params, features, captions, None, False)
         pred_tokens = preds.argmax(axis=2).astype(jnp.int32)

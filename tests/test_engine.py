@@ -61,7 +61,7 @@ def test_training_decreases_loss(data_root, tmp_path):
     cfg = make_cfg(data_root, tmp_path, epochs=0, lr=5e-3, perform_test=False)
     tr = Trainer(cfg)
     import jax.numpy as jnp, jax
-    imgs, caps, _ = next(tr.train_loader.epoch(0))
+    imgs, caps, _, _idxs = next(tr.train_loader.epoch(0))
     from sat_tpu.engine.loop import _pad_batch
     (imgs, caps), _ = _pad_batch([imgs, caps], tr.n_data)
     d_imgs, d_caps = tr._put(imgs, caps)

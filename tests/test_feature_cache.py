@@ -1,0 +1,61 @@
+"""Feature-cache training path: identical numerics to the image path
+(frozen eval-mode encoder), faster epochs, loaders skip pixels."""
+
+import numpy as np
+import pytest
+
+from tests._synth import build_synth_dataset
+
+from sat_tpu.config import Config
+from sat_tpu.data import generate_json_data
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fcache"))
+    build_synth_dataset(root, n_train=4, n_val=2, n_test=2, caps_per_img=2,
+                        image_size=32)
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+    return root
+
+
+def _cfg(data_root, tmp_path, **kw):
+    base = dict(data=data_root, network="vgg19", image_size=32, batch_size=4,
+                epochs=1, tf=True, attention=True, log_interval=1,
+                checkpoint_dir=str(tmp_path), perform_test=False, seed=11)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_cached_matches_uncached_numerics(data_root, tmp_path):
+    """Same seed, one epoch each way: parameters must match to float32
+    tolerance (the encoder is frozen + eval, so features are identical)."""
+    from sat_tpu.engine.loop import Trainer
+    results = {}
+    for cached in (False, True):
+        tr = Trainer(_cfg(data_root, tmp_path / str(cached),
+                          cache_features=cached))
+        tr.train_epoch(1)
+        results[cached] = {
+            "params": np.asarray(tr.state.params["deep_output"]["b"]),
+            "val": tr.validate(1),
+        }
+    np.testing.assert_allclose(results[True]["params"],
+                               results[False]["params"], atol=1e-5)
+    assert results[True]["val"]["loss"] == pytest.approx(
+        results[False]["val"]["loss"], rel=1e-4)
+    assert results[True]["val"]["bleu1"] == pytest.approx(
+        results[False]["val"]["bleu1"], abs=1e-6)
+
+
+def test_cached_loader_skips_images(data_root, tmp_path):
+    from sat_tpu.engine.loop import Trainer
+    tr = Trainer(_cfg(data_root, tmp_path, cache_features=True))
+    imgs, caps, _, idxs = next(tr.train_loader.epoch(0))
+    assert imgs is None          # pixels never re-decoded
+    assert idxs.shape == caps.shape[:1]
+    feats = tr._step_inputs("train", imgs, idxs)
+    assert feats.shape == (len(idxs), 4, 512)  # 32px vgg -> 2x2 grid
+    # dedup: 4 unique images, 8 rows
+    assert tr.features["train"].shape[0] == 4
+    assert tr.row_map["train"].shape[0] == 8
