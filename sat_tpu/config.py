@@ -92,6 +92,7 @@ class Config:
                                  # once per unique image; numerically
                                  # identical (encoder is frozen + eval mode),
                                  # epochs then cost decoder-only FLOPs
+    fused_attention: bool = False  # Pallas fused attention (fwd + custom VJP)
 
     @property
     def encoder_dim(self) -> int:
@@ -194,6 +195,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "image; identical numerics, much faster epochs")
     parser.add_argument("--image-size", type=int, default=224,
                         help="input resolution (224 = reference parity)")
+    parser.add_argument("--fused-attention", action="store_true", default=False,
+                        help="use the Pallas fused attention kernels "
+                             "(custom VJP; ~7%% faster decoder grad on v5e)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

@@ -97,7 +97,8 @@ class Trainer:
         self.dcfg = DecoderConfig(
             vocab_size=vocabulary_size, encoder_dim=cfg.encoder_dim,
             use_tf=cfg.tf, use_ado=cfg.ado, use_bert=cfg.bert,
-            use_attention=cfg.attention)
+            use_attention=cfg.attention,
+            fused_attention=cfg.fused_attention)
 
         # ---- params ----
         root_rng = jax.random.PRNGKey(cfg.seed)

@@ -49,9 +49,11 @@ class DecoderConfig:
     use_bert: bool = False
     use_attention: bool = False
     dropout_rate: float = 0.5
-    # Inference-only: route the attention block through the Pallas fused
-    # kernel (sat_tpu.ops.fused_attention). Matches XLA numerics; has no
-    # VJP, so keep False for training forwards.
+    # Route the attention block through the Pallas fused kernels
+    # (sat_tpu.ops.fused_attention): custom-VJP pair whose backward
+    # recomputes the (B, L, E) tanh in VMEM instead of materializing it to
+    # HBM for the backward pass. Matches XLA numerics; usable in training
+    # and inference.
     fused_attention: bool = False
 
     @property
