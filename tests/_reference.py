@@ -31,15 +31,30 @@ class _FakePrettyTable:
 
 
 def import_reference(module_name):
-    """Import a module from /root/reference with stubs installed."""
+    """Import a module from /root/reference with stubs installed.
+
+    Loaded by explicit file path (not sys.path) because several reference
+    modules share names with this repo's own CLI entry points
+    (generate_json_data*.py) and pytest keeps the repo root at the front of
+    sys.path during collection.
+    """
     _stub("prettytable", PrettyTable=_FakePrettyTable)
     _stub("wandb")
     _stub("skimage")
     _stub("skimage.transform")
+    # Intra-reference imports (decoder imports attention) resolve via
+    # sys.path; keep /root/reference available but never ahead of stubs.
     if _REFERENCE not in sys.path:
-        sys.path.insert(0, _REFERENCE)
-    import importlib
-    mod = importlib.import_module(module_name)
+        sys.path.append(_REFERENCE)
+    import importlib.util
+    cache_key = f"_reference_{module_name}"
+    if cache_key in sys.modules:
+        return sys.modules[cache_key]
+    spec = importlib.util.spec_from_file_location(
+        module_name, f"{_REFERENCE}/{module_name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[cache_key] = mod
+    spec.loader.exec_module(mod)
     import torch
     # The reference defines mps_device only when MPS is available
     # (decoder.py:5-6, train.py:34-35); its forward paths reference it

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""End-to-end learnability demo on a synthetic color-caption dataset.
+
+Builds images that are solid colors (plus noise) captioned "a <color>
+square", trains the flagship pipeline for a few epochs with the feature
+cache, and reports val BLEU-1 per epoch plus free-running beam captions.
+A working system must drive BLEU-1 near 1.0 and beam-caption unseen color
+images correctly — this exercises encoder features, attention, teacher
+forcing, loss, optimizer, checkpointing, and beam search as one system.
+
+    python tools/demo_learnability.py [--epochs 12] [--out-dir /tmp/colordemo]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COLORS = {
+    "red": (200, 30, 30), "green": (30, 200, 30), "blue": (30, 30, 200),
+    "yellow": (220, 220, 30), "purple": (150, 30, 200),
+    "orange": (230, 140, 20), "white": (240, 240, 240), "black": (15, 15, 15),
+}
+
+
+def build_dataset(root, per_color=6, image_size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(f"{root}/imgs", exist_ok=True)
+    images = []
+    idx = 0
+    for color, rgb in COLORS.items():
+        for j in range(per_color):
+            split = "train" if j < per_color - 2 else ("val" if j == per_color - 2 else "test")
+            arr = np.clip(np.asarray(rgb, np.float32)
+                          + rng.normal(0, 18, size=(image_size, image_size, 3)),
+                          0, 255).astype(np.uint8)
+            fname = f"{color}_{j}.png"
+            Image.fromarray(arr).save(f"{root}/imgs/{fname}")
+            images.append({
+                "filename": fname, "split": split,
+                "sentences": [{"tokens": ["a", color, "square"]}] * 2,
+            })
+            idx += 1
+    with open(f"{root}/dataset.json", "w") as f:
+        json.dump({"images": images}, f)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=12)
+    parser.add_argument("--out-dir", type=str, default="/tmp/colordemo")
+    parser.add_argument("--image-size", type=int, default=64)
+    args = parser.parse_args()
+
+    from sat_tpu.config import Config
+    from sat_tpu.data import generate_json_data
+    from sat_tpu.engine.loop import Trainer
+
+    root = args.out_dir
+    build_dataset(root, image_size=args.image_size)
+    generate_json_data(f"{root}/dataset.json", root,
+                       max_captions_per_image=2, min_word_count=1,
+                       max_caption_length=6)
+
+    cfg = Config(data=root, network="vgg19", image_size=args.image_size,
+                 batch_size=16, epochs=args.epochs, lr=4e-3, tf=True,
+                 attention=True, cache_features=True, log_interval=100,
+                 checkpoint_dir=f"{root}/model", perform_test=False, seed=0)
+    trainer = Trainer(cfg)
+    history = []
+    for epoch in range(1, cfg.epochs + 1):
+        trainer.train_epoch(epoch)
+        result = trainer.validate(epoch)
+        history.append((epoch, result["bleu1"]))
+    trainer.save_epoch(cfg.epochs)
+
+    print("\nval BLEU-1 by epoch:",
+          " ".join(f"{e}:{b:.2f}" for e, b in history))
+
+    # Free-running beam captions on the held-out test images.
+    import jax
+    from sat_tpu.models.beam import beam_search_batched, extract_caption
+    from sat_tpu.engine.evaluate import decode_caption, build_token_dict
+    ds = trainer.test_loader.dataset
+    feats = trainer.features.get("test")
+    row_map = trainer.row_map.get("test")
+    token_dict = build_token_dict(trainer.word_dict)
+    result = beam_search_batched(trainer.state.params, trainer.dcfg,
+                                 feats[row_map], 3)
+    correct = 0
+    seen = set()
+    for i, path in enumerate(ds.img_paths):
+        if path in seen:
+            continue
+        seen.add(path)
+        tokens, _ = extract_caption(jax.tree_util.tree_map(lambda x: x[i], result))
+        words = decode_caption(tokens, trainer.word_dict, token_dict)
+        expected = os.path.basename(path).split("_")[0]
+        ok = expected in words
+        correct += ok
+        print(f"  {os.path.basename(path):16s} -> '{' '.join(words)}' "
+              f"{'OK' if ok else 'MISS'}")
+    print(f"beam color accuracy: {correct}/{len(seen)}")
+    print(json.dumps({"final_val_bleu1": history[-1][1],
+                      "beam_color_accuracy": correct / len(seen)}))
+
+
+if __name__ == "__main__":
+    main()
