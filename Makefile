@@ -1,0 +1,23 @@
+# sat_tpu developer targets
+.PHONY: test test-fast bench native demo smoke
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q --ignore=tests/test_engine.py \
+	  --ignore=tests/test_encoder.py --ignore=tests/test_bert_path.py \
+	  --ignore=tests/test_feature_cache.py
+
+native:
+	sh tools/build_native.sh
+
+bench:
+	python bench.py
+
+demo:
+	python tools/demo_learnability.py
+
+smoke:
+	python train.py --data data/flickr8k --epochs=1 --frac=0.02 \
+	  --log-interval=2 --tf --ado --attention
