@@ -17,6 +17,7 @@ from sat_tpu.models.beam import (
     beam_search_batched,
     beam_search_vmapped,
     greedy_caption,
+    sample_caption,
     extract_caption,
 )
 from sat_tpu.models.encoder import (
@@ -39,6 +40,7 @@ __all__ = [
     "beam_search_batched",
     "beam_search_vmapped",
     "greedy_caption",
+    "sample_caption",
     "extract_caption",
     "encoder_forward",
     "init_encoder_params",

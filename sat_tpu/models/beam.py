@@ -290,6 +290,62 @@ def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     return toks, lengths
 
 
+def sample_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
+                   rng: jax.Array, temperature: float = 1.0,
+                   top_k: int = 0, top_p: float = 1.0,
+                   max_steps: int = constants.BEAM_MAX_STEPS):
+    """Stochastic decode of a batch of images (beyond reference parity — the
+    reference offers only beam search; this is the standard serving
+    alternative). Logits are softmaxed at `temperature`, optionally
+    truncated to the top-k ids and/or the top-p (nucleus) mass, then
+    sampled. features: (B, L, D); returns (tokens (B, max_steps),
+    lengths (B,)) with the same stop/pad semantics as `greedy_caption`."""
+    B = features.shape[0]
+    V = cfg.effective_vocab_size
+    stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
+                      else constants.BEAM_STOP_VANILLA)
+    keys = precompute_attention_keys(params["attention"], features)
+    h, c = init_lstm_state(params, features)
+    start = jnp.full((B,), cfg.start_token, jnp.int32)
+    step_rngs = jax.random.split(rng, max_steps)
+
+    def filter_logits(logits):
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if top_k and top_k < V:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p < 1.0:
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # smallest set whose mass >= top_p: keep ids whose prefix mass
+            # (exclusive) is < top_p
+            keep_sorted = (cum - probs) < top_p
+            threshold = jnp.min(
+                jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                keepdims=True)
+            logits = jnp.where(logits < threshold, -jnp.inf, logits)
+        return logits
+
+    def step(carry, rng_t):
+        h, c, prev, done = carry
+        emb = embed_tokens(params, cfg, prev)
+        h, c, logits, _, _ = decode_step(params, cfg, features, keys, h, c,
+                                         emb, None)
+        nxt = jax.random.categorical(rng_t, filter_logits(logits),
+                                     axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, prev, nxt)
+        done = done | (nxt == stop_a) | (nxt == stop_b)
+        return (h, c, nxt, done), nxt
+
+    (_, _, _, done), toks = jax.lax.scan(
+        step, (h, c, start, jnp.zeros((B,), bool)), step_rngs)
+    toks = jnp.swapaxes(toks, 0, 1)
+    is_stop = (toks == stop_a) | (toks == stop_b)
+    lengths = jnp.where(is_stop.any(axis=1), is_stop.argmax(axis=1), max_steps)
+    return toks, lengths
+
+
 def extract_caption(result: BeamResult):
     """Host-side unpacking with the reference's fallback semantics
     (decoder.py:256-258): no completed sentence -> `[0]` and the final
