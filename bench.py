@@ -96,6 +96,8 @@ def measure_reference() -> float:
 
 
 def main():
+    from sat_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     tpu_cps = measure_tpu()
     ref_cps = measure_reference()
     print(json.dumps({

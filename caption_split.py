@@ -35,6 +35,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    from sat_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     from generate_caption import load_model
     from sat_tpu.data import CaptionDataset, BatchLoader
     from sat_tpu.engine.evaluate import (build_token_dict, compute_bleu,

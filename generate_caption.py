@@ -119,6 +119,8 @@ def generate_caption_visualization(img_path, cfg, dcfg, enc_params, dec_params,
 
 
 def main():
+    from sat_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(
         description="Show, Attend and Tell Caption Generator")
     parser.add_argument("--img-path", type=str, help="path to image")

@@ -22,6 +22,8 @@ def main() -> None:
     args = build_arg_parser().parse_args()
     cfg = config_from_args(args)
     set_seed(cfg.seed)
+    from sat_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     from sat_tpu.parallel.distributed import initialize
     initialize()  # no-op on single host; spans the slice on multi-host TPU
     from sat_tpu.engine.loop import run_training
