@@ -1,0 +1,43 @@
+"""caption_split CLI: batched split captioning end-to-end on CPU."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from tests._synth import build_synth_dataset
+
+
+def test_caption_split_cli(tmp_path, monkeypatch, capsys):
+    root = str(tmp_path / "data")
+    import os
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=2, n_val=1, n_test=2, caps_per_img=2,
+                        image_size=32)
+    from sat_tpu.data import generate_json_data
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+
+    # minimal checkpoint via the Trainer
+    from sat_tpu.config import Config
+    from sat_tpu.engine.loop import Trainer
+    cfg = Config(data=root, network="vgg19", image_size=32, batch_size=4,
+                 epochs=0, tf=True, attention=True, log_interval=10,
+                 checkpoint_dir=str(tmp_path / "model"), perform_test=False)
+    tr = Trainer(cfg)
+    tr.save_epoch(1)
+
+    out_path = str(tmp_path / "caps.jsonl")
+    import caption_split
+    monkeypatch.setattr(sys, "argv", [
+        "caption_split.py", "--model", str(tmp_path / "model" / "model_vgg19_1.npz"),
+        "--split", "test", "--beam-size", "2", "--batch-size", "2",
+        "--out", out_path])
+    caption_split.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["images"] == 4  # 2 test images x 2 captions
+    assert summary["beam_size"] == 2
+    assert 0.0 <= summary["bleu1"] <= 1.0
+    rows = [json.loads(l) for l in open(out_path)]
+    assert len(rows) == 4
+    assert all("caption" in r and "img_path" in r for r in rows)
