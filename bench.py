@@ -98,7 +98,26 @@ def measure_reference() -> float:
 def main():
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
+
+    # The tunneled TPU occasionally wedges for tens of minutes (even trivial
+    # dispatches hang). A hung bench records nothing; emit an honest
+    # zero-value line instead.
+    import signal
+
+    def _timeout(signum, frame):
+        print(json.dumps({
+            "metric": "captions_per_sec_beam5_vgg19_e2e",
+            "value": 0, "unit": "captions/sec/chip", "vs_baseline": 0,
+            "error": "tpu backend unresponsive within 600s",
+        }))
+        sys.stdout.flush()
+        import os
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(600)
     tpu_cps = measure_tpu()
+    signal.alarm(0)
     ref_cps = measure_reference()
     print(json.dumps({
         "metric": "captions_per_sec_beam5_vgg19_e2e",

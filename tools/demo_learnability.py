@@ -41,9 +41,15 @@ def build_dataset(root, per_color=6, image_size=64, seed=0):
                           0, 255).astype(np.uint8)
             fname = f"{color}_{j}.png"
             Image.fromarray(arr).save(f"{root}/imgs/{fname}")
+            # Two captions of DIFFERENT lengths. With uniform lengths the
+            # reference's packed-CE quirk (each row's final timestep is
+            # dropped from the loss, reference train.py:149-151) would mean
+            # <eos> is never supervised and decoding never stops — real
+            # datasets have varied lengths, so the demo must too.
             images.append({
                 "filename": fname, "split": split,
-                "sentences": [{"tokens": ["a", color, "square"]}] * 2,
+                "sentences": [{"tokens": ["a", color, "square"]},
+                              {"tokens": ["a", "very", color, "square"]}],
             })
             idx += 1
     with open(f"{root}/dataset.json", "w") as f:
@@ -70,6 +76,7 @@ def main():
     cfg = Config(data=root, network="vgg19", image_size=args.image_size,
                  batch_size=16, epochs=args.epochs, lr=4e-3, tf=True,
                  attention=True, cache_features=True, log_interval=100,
+                 step_size=1000,  # hold lr flat (StepLR default decays at 5)
                  checkpoint_dir=f"{root}/model", perform_test=False, seed=0)
     trainer = Trainer(cfg)
     history = []
