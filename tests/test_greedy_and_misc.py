@@ -55,3 +55,30 @@ def test_experiment_configs_parse():
     for name, flags in train_models.EXPERIMENTS.items():
         args = parser.parse_args(flags)
         assert args.data.startswith("data/"), name
+
+
+def test_bert_beam_stop_ids():
+    """BERT-mode beam must treat ids {1, 0} as terminators (the reference's
+    'quickfix' for SEP-after-PAD data, decoder.py:224-226) and start from
+    [CLS]=101."""
+    import jax
+    import numpy as np
+    from sat_tpu.models import DecoderConfig, init_decoder_params
+    from sat_tpu.models.beam import beam_search, extract_caption
+
+    cfg = DecoderConfig(vocab_size=999, encoder_dim=16, use_bert=True,
+                        use_attention=True)
+    table = np.random.default_rng(0).normal(
+        scale=0.05, size=(30522, 768)).astype(np.float32)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg,
+                                 bert_embeddings=table)
+    # rig the head so id 0 ([PAD], a bert-mode stop id) always wins
+    b = np.zeros(30522, np.float32)
+    b[0] = 50.0
+    params["deep_output"]["b"] = b
+    feats = np.random.default_rng(1).normal(size=(4, 16)).astype(np.float32)
+    res = beam_search(params, cfg, feats, 2)
+    tokens, _ = extract_caption(res)
+    assert bool(res.found)
+    assert tokens[0] == 101          # starts from [CLS]
+    assert tokens[-1] == 0           # terminated by the bert stop id
