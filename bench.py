@@ -30,8 +30,9 @@ VOCAB = 2633      # Flickr8k-scale vocabulary
 ENC_DIM = 512
 GRID = 196
 # Fallback baseline (captions/sec) if the live reference measurement fails;
-# value recorded from this host (single-core CPU torch, beam=5, 51 steps).
-FALLBACK_REF_CAPTIONS_PER_SEC = 0.9
+# value measured on this host (single-core CPU torch, beam=5, 51 steps,
+# recorded from successful bench runs).
+FALLBACK_REF_CAPTIONS_PER_SEC = 2.2
 
 
 def measure_tpu() -> float:
