@@ -72,6 +72,9 @@ def main():
         result = jax.block_until_ready(
             caption_batch(enc_params, dec_params, imgs))
         t_total += time.perf_counter() - t0
+        # One device->host transfer per field, then index in numpy — per-image
+        # device slicing would issue ~8*B tiny transfers over the tunnel.
+        result = jax.tree_util.tree_map(np.asarray, result)
         n_imgs += len(imgs)
         for i in range(len(imgs)):
             res_i = jax.tree_util.tree_map(lambda x: x[i], result)

@@ -63,6 +63,11 @@ def load_model(model_path=None, model_config_path=None, wandb_run=None,
     enc_params = init_encoder_params(rng, cfg.network)
     if encoder_weights:
         enc_params = load_encoder_npz(encoder_weights, enc_params)
+    else:
+        print("WARNING: no --encoder-weights given; encoder uses random "
+              "init — captions will be meaningless unless the decoder was "
+              "trained against the same random-init encoder (port pretrained "
+              "weights with tools/port_torchvision.py)")
     dec_params = init_decoder_params(rng, dcfg)
     dec_params = load_decoder_checkpoint(model_path, dec_params, strict=False)
     return cfg, dcfg, enc_params, dec_params, word_dict, tokenizer

@@ -26,14 +26,6 @@ from __future__ import annotations
 import numpy as np
 
 
-def _linear(sd, name, out):
-    if f"{name}.weight" in sd:
-        out["w"] = np.ascontiguousarray(np.asarray(sd[f"{name}.weight"]).T)
-    if f"{name}.bias" in sd:
-        out["b"] = np.asarray(sd[f"{name}.bias"])
-    return out
-
-
 def decoder_params_from_state_dict(state_dict, params: dict,
                                    strict: bool = True) -> dict:
     """Return a copy of `params` with values replaced from a torch

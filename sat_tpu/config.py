@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -123,13 +124,26 @@ class Config:
         return {k: getattr(self, k) for k in _REFERENCE_FIELDS}
 
     def save_model_config(self, path: str) -> None:
+        """Write the byte-compatible reference model_config.json, plus a
+        `sat_config.json` sidecar carrying the TPU-framework extension
+        fields (image_size etc.) so checkpoints trained at non-default
+        settings reload faithfully."""
         with open(path, "w") as f:
             json.dump(self.reference_dict(), f)
+        sidecar = os.path.join(os.path.dirname(path) or ".", "sat_config.json")
+        extensions = {k: v for k, v in dataclasses.asdict(self).items()
+                      if k not in _REFERENCE_FIELDS}
+        with open(sidecar, "w") as f:
+            json.dump(extensions, f)
 
     @classmethod
     def from_model_config(cls, path: str, **overrides) -> "Config":
         with open(path) as f:
             raw = json.load(f)
+        sidecar = os.path.join(os.path.dirname(path) or ".", "sat_config.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                raw.update(json.load(f))
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in known}
         kwargs.update(overrides)

@@ -161,22 +161,43 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancelled = threading.Event()
 
         def producer():
             try:
                 for idxs in splits:
-                    q.put(self._make_batch(idxs))
+                    batch = self._make_batch(idxs)
+                    # Bounded put with a cancellation check: if the consumer
+                    # abandons the iterator (break / exception), a plain
+                    # q.put would block this thread forever while pinning
+                    # decoded image batches.
+                    while not cancelled.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancelled.is_set():
+                        return
             finally:
-                q.put(stop)
+                while not cancelled.is_set():
+                    try:
+                        q.put(stop, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+            t.join()
+        finally:
+            cancelled.set()
 
     def __iter__(self):
         return self.epoch(0)

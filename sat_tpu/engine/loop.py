@@ -129,6 +129,9 @@ class Trainer:
             jax.tree_util.tree_map(jnp.asarray, enc_params), replicated(self.mesh))
         self.batch_sharding = batch_sharding(self.mesh)
         self.n_data = self.mesh.shape["data"]
+        # Pad multiple for host-local batches: local rows must divide evenly
+        # over this host's share of the data axis.
+        self.pad_multiple = max(1, self.n_data // jax.process_count())
 
         self.state = init_train_state(dec_params)
         self._host_step = 0   # mirrors state.step without device syncs
@@ -200,8 +203,23 @@ class Trainer:
     # ------------------------------------------------------------- epochs
 
     def _put(self, imgs, captions):
-        return (jax.device_put(imgs, self.batch_sharding),
-                jax.device_put(captions, self.batch_sharding))
+        """Place a host-local batch onto the mesh.
+
+        Single-process: plain device_put with the batch sharding.
+        Multi-process: each host holds a disjoint stripe of the global
+        batch (BatchLoader shards rows by process), so the global array is
+        assembled with make_array_from_process_local_data — a device_put of
+        the local stripe would masquerade as the (smaller) global batch and
+        silently drop most rows.
+        """
+        if jax.process_count() == 1:
+            return (jax.device_put(imgs, self.batch_sharding),
+                    jax.device_put(captions, self.batch_sharding))
+        H = jax.process_count()
+        mk = jax.make_array_from_process_local_data
+        return (mk(self.batch_sharding, imgs, (imgs.shape[0] * H,) + imgs.shape[1:]),
+                mk(self.batch_sharding, captions,
+                   (captions.shape[0] * H,) + captions.shape[1:]))
 
     def _precompute_split_features(self, ds, batch: int = 16):
         """Encode each unique image once; returns (features (U, L, D) np,
@@ -246,7 +264,7 @@ class Trainer:
 
         for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
             inputs = self._step_inputs("train", imgs, idxs)
-            (inputs, captions), _ = _pad_batch([inputs, captions], self.n_data)
+            (inputs, captions), _ = _pad_batch([inputs, captions], self.pad_multiple)
             imgs, captions = self._put(inputs, captions)
             # Host-side step counter: folding in state.step would force a
             # device sync before every dispatch.
@@ -284,7 +302,7 @@ class Trainer:
                        mode: EvalMode) -> dict:
         cfg = self.cfg
         losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
-        decoded_captions, decoded_all_captions, decoded_hypotheses = [], [], []
+        decoded_all_captions, decoded_hypotheses = [], []
         predictions_rows = []
         n_batches = loader.batches_per_epoch()
         viz_count = 0
@@ -292,7 +310,7 @@ class Trainer:
 
         for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
             inputs = self._step_inputs(loader.split, imgs, idxs)
-            (p_imgs, p_captions), n_real = _pad_batch([inputs, captions], self.n_data)
+            (p_imgs, p_captions), n_real = _pad_batch([inputs, captions], self.pad_multiple)
             d_imgs, d_captions = self._put(p_imgs, p_captions)
             metrics, pred_tokens, alphas = self.eval_step(
                 self.state.params, self.enc_params, d_imgs, d_captions)
@@ -305,7 +323,6 @@ class Trainer:
             pred_tokens = np.asarray(pred_tokens)[:n_real]
             batch_captions = self._decode(captions.tolist())
             batch_hypotheses = self._decode(pred_tokens.tolist())
-            decoded_captions.extend(batch_captions)
             decoded_hypotheses.extend(batch_hypotheses)
             for cap_set in all_captions.tolist():
                 decoded_all_captions.append(self._decode(cap_set))

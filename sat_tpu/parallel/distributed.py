@@ -30,11 +30,15 @@ def initialize(coordinator_address: str | None = None,
     import jax
 
     if coordinator_address is None and num_processes is None:
-        cluster_hints = ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-                         "TPU_WORKER_HOSTNAMES")
-        multi = os.environ.get("TPU_WORKER_HOSTNAMES", "localhost")
-        if all(os.environ.get(k) is None for k in cluster_hints) or \
-                multi in ("", "localhost"):
+        # Initialize only when some cluster environment hint is present; a
+        # TPU_WORKER_HOSTNAMES of "localhost" alone (this dev pod) is not a
+        # cluster.
+        coord_hinted = any(os.environ.get(k) for k in
+                           ("COORDINATOR_ADDRESS",
+                            "MEGASCALE_COORDINATOR_ADDRESS"))
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi_worker = workers not in ("", "localhost") and "," in workers
+        if not coord_hinted and not multi_worker:
             return  # single host — nothing to do
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -115,3 +115,30 @@ def test_eager_cache_hits(prepped):
     a = ds.load_image(0)
     b = ds.load_image(0)
     assert a is b  # second load served from cache
+
+
+def test_loader_abandoned_iterator_does_not_leak_thread(prepped):
+    import threading
+    ds = CaptionDataset(prepped, "train")
+    loader = BatchLoader(ds, batch_size=2, prefetch=2)
+    before = threading.active_count()
+    it = loader.epoch(0)
+    next(it)       # start producer, consume one batch
+    it.close()     # abandon mid-epoch
+    import time
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_config_sidecar_round_trips_extensions(tmp_path):
+    from sat_tpu.config import Config
+    cfg = Config(image_size=96, cache_features=True, network="vgg19")
+    path = str(tmp_path / "model_config.json")
+    cfg.save_model_config(path)
+    import json as _json
+    ref = _json.load(open(path))
+    assert "image_size" not in ref        # reference file stays byte-compatible
+    loaded = Config.from_model_config(path)
+    assert loaded.image_size == 96 and loaded.cache_features is True

@@ -115,9 +115,7 @@ def test_generate_caption_cli_path(data_root, tmp_path):
     assert lcfg.network == "vgg19" and word_dict is not None
     img_path = json.load(open(f"{data_root}/train_img_paths.json"))[0]
     out_path = str(tmp_path / "viz.png")
-    # note: lcfg round-trips image_size? (extension fields are not persisted
-    # in model_config.json) -> grid side must come from the checkpoint config
-    lcfg.__dict__["image_size"] = 32
+    assert lcfg.image_size == 32  # restored from the sat_config.json sidecar
     tokens, alpha = gc.generate_caption_visualization(
         img_path, lcfg, dcfg, enc_p, dec_p, word_dict, tok,
         beam_size=3, out_path=out_path)
