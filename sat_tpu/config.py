@@ -94,6 +94,8 @@ class Config:
                                  # identical (encoder is frozen + eval mode),
                                  # epochs then cost decoder-only FLOPs
     fused_attention: bool = False  # Pallas fused attention (fwd + custom VJP)
+    feature_bank_hbm_gb: float = 6.0  # keep the feature cache in HBM when
+                                      # it fits under this budget
 
     @property
     def encoder_dim(self) -> int:
@@ -212,6 +214,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fused-attention", action="store_true", default=False,
                         help="use the Pallas fused attention kernels "
                              "(custom VJP; ~7%% faster decoder grad on v5e)")
+    parser.add_argument("--feature-bank-hbm-gb", type=float, default=6.0,
+                        help="HBM budget for the resident feature bank "
+                             "(cache-features mode)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

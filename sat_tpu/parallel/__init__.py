@@ -1,5 +1,12 @@
 from sat_tpu.parallel.mesh import make_mesh, batch_sharding, param_sharding, replicated
-from sat_tpu.parallel.train_step import TrainState, make_train_step, make_eval_step, init_train_state
+from sat_tpu.parallel.train_step import (
+    TrainState,
+    make_train_step,
+    make_eval_step,
+    make_bank_train_step,
+    make_bank_eval_step,
+    init_train_state,
+)
 
 __all__ = [
     "make_mesh",
@@ -9,5 +16,7 @@ __all__ = [
     "TrainState",
     "make_train_step",
     "make_eval_step",
+    "make_bank_train_step",
+    "make_bank_eval_step",
     "init_train_state",
 ]
