@@ -96,6 +96,10 @@ class Config:
     fused_attention: bool = False  # Pallas fused attention (fwd + custom VJP)
     feature_bank_hbm_gb: float = 6.0  # keep the feature cache in HBM when
                                       # it fits under this budget
+    fast_metrics: bool = False   # sync train metrics to host only at
+                                 # log-interval batches (reference syncs
+                                 # every batch via .item(); that costs
+                                 # ~1-3ms/step over the tunnel)
 
     @property
     def encoder_dim(self) -> int:
@@ -217,6 +221,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--feature-bank-hbm-gb", type=float, default=6.0,
                         help="HBM budget for the resident feature bank "
                              "(cache-features mode)")
+    parser.add_argument("--fast-metrics", action="store_true", default=False,
+                        help="sync train metrics only at log-interval "
+                             "batches (default: every batch, like the "
+                             "reference)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

@@ -332,6 +332,11 @@ class Trainer:
                     "train", imgs, captions, idxs, lr, rng)
             self._host_step += 1
 
+            # Each float()/int() below synchronizes with the device; with
+            # --fast-metrics that cost is paid only at log-interval batches
+            # (metrics for the skipped batches are simply not accumulated).
+            if cfg.fast_metrics and batch_idx % cfg.log_interval != 0:
+                continue
             n = int(metrics["caption_length"])
             losses.update(float(metrics["loss"]), n)
             top1.update(float(metrics["acc1"]), n)
