@@ -66,13 +66,7 @@ def test_fast_metrics_skips_offinterval_syncs(data_root, tmp_path):
     cfg = _cfg(data_root, tmp_path, cache_features=True, fast_metrics=True,
                log_interval=2, batch_size=2)  # 8 rows -> 4 batches
     tr = Trainer(cfg)
-    losses = []
-    import sat_tpu.utils.meters as meters_mod
     tr.train_epoch(1)
-    # 4 batches, log_interval=2 -> meters updated at batches 0 and 2 only
-    # (count accumulates caption lengths from exactly 2 batches)
-    # verify via a second epoch with a fresh meter count probe:
-    from sat_tpu.utils import AverageMeter
-    # indirect check: meters inside train_epoch are local; assert instead
-    # that training still runs and state advances 4 steps per epoch
+    # meters are train_epoch-local; the observable contract is that training
+    # still advances one optimizer step per batch with syncs skipped
     assert int(tr.state.step) == 4
