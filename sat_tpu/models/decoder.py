@@ -187,16 +187,45 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     if cfg.use_tf:
         token_embs = embed_tokens(params, cfg, captions[:, :T])  # (B, T, E)
 
-        def step(carry, xs):
-            h, c, = carry
-            emb_t, rng_t = xs
-            h, c, logits, alpha, _ = decode_step(
-                params, cfg, features, keys, h, c, emb_t,
-                rng_t if use_dropout else None)
-            return (h, c), (logits, alpha)
+        # Teacher forcing needs no logits inside the recurrence, so the scan
+        # carries only the cheap LSTM/attention states and the output head
+        # runs ONCE over all timesteps afterwards — one (B*T, E) @ (E, V)
+        # MXU matmul for forward and backward instead of T small ones.
+        # Identical math to the per-step head; golden tests pin it.
+        def step(carry, emb_t):
+            h, c = carry
+            L = features.shape[1]
+            if cfg.use_attention:
+                if cfg.fused_attention:
+                    from sat_tpu.ops.fused_attention import fused_soft_attention
+                    context, alpha = fused_soft_attention(
+                        params["attention"], features, h, keys)
+                else:
+                    context, alpha = soft_attention(params["attention"],
+                                                    features, h, keys)
+                gate = jax.nn.sigmoid(h @ params["f_beta"]["w"]
+                                      + params["f_beta"]["b"])
+                gated_context = gate * context
+            else:
+                alpha = jnp.full(features.shape[:2], 1.0 / L, features.dtype)
+                context = features.mean(axis=1)
+                gated_context = context
+            x = jnp.concatenate([emb_t, gated_context], axis=-1)
+            h, c = lstm_cell(params["lstm"], x, h, c)
+            return (h, c), (h, context, alpha)
 
-        (_, _), (preds, alphas) = jax.lax.scan(
-            step, (h, c), (jnp.swapaxes(token_embs, 0, 1), step_rngs))
+        (_, _), (hs, ctxs, alphas) = jax.lax.scan(
+            step, (h, c), jnp.swapaxes(token_embs, 0, 1))
+        hs = jnp.swapaxes(hs, 0, 1)          # (B, T, E)
+        ctxs = jnp.swapaxes(ctxs, 0, 1)      # (B, T, D)
+
+        h_do = _dropout(hs, cfg.dropout_rate, rng if use_dropout else None)
+        if cfg.use_ado:
+            preds = _advanced_deep_output(params, h_do, ctxs, token_embs)
+        else:
+            preds = (h_do @ params["deep_output"]["w"]
+                     + params["deep_output"]["b"])
+        return preds, jnp.swapaxes(alphas, 0, 1)
     else:
         start = jnp.full((B,), cfg.start_token, jnp.int32)
         prev_emb = embed_tokens(params, cfg, start)
