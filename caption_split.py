@@ -26,6 +26,17 @@ def main():
     parser.add_argument("--split", choices=["train", "val", "test"],
                         default="test")
     parser.add_argument("--beam-size", type=int, default=5)
+    parser.add_argument("--decode", choices=["beam", "greedy", "sample"],
+                        default="beam",
+                        help="decoding strategy (default: beam)")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="sampling temperature (--decode sample)")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="top-k truncation, 0 = off (--decode sample)")
+    parser.add_argument("--top-p", type=float, default=1.0,
+                        help="nucleus mass, 1.0 = off (--decode sample)")
+    parser.add_argument("--sample-seed", type=int, default=0,
+                        help="PRNG seed for --decode sample")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--fraction", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None,
@@ -41,7 +52,8 @@ def main():
     from sat_tpu.data import CaptionDataset, BatchLoader
     from sat_tpu.engine.evaluate import (build_token_dict, compute_bleu,
                                          decode_caption, decode_caption_bert)
-    from sat_tpu.models.beam import beam_search_batched, extract_caption
+    from sat_tpu.models.beam import (beam_search_batched, extract_caption,
+                                     greedy_caption, sample_caption)
     from sat_tpu.models.encoder import encoder_forward
 
     cfg, dcfg, enc_params, dec_params, word_dict, tokenizer = load_model(
@@ -58,19 +70,28 @@ def main():
             return decode_caption_bert(tokens, tokenizer)
         return decode_caption(tokens, word_dict, token_dict)
 
+    rng = jax.random.PRNGKey(args.sample_seed)
+
     @jax.jit
-    def caption_batch(e, d, imgs):
+    def caption_batch(e, d, imgs, r):
         feats = encoder_forward(e, cfg.network, imgs)
-        return beam_search_batched(d, dcfg, feats, args.beam_size)
+        if args.decode == "beam":
+            return beam_search_batched(d, dcfg, feats, args.beam_size)
+        if args.decode == "greedy":
+            return greedy_caption(d, dcfg, feats)
+        return sample_caption(d, dcfg, feats, r,
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
 
     out_f = open(args.out, "w") if args.out else None
     hypotheses, all_refs = [], []
     n_imgs, t_total = 0, 0.0
     row = 0
-    for imgs, _, all_captions in loader.epoch(0):
+    for batch_idx, (imgs, _, all_captions) in enumerate(loader.epoch(0)):
+        step_rng = jax.random.fold_in(rng, batch_idx)
         t0 = time.perf_counter()
         result = jax.block_until_ready(
-            caption_batch(enc_params, dec_params, imgs))
+            caption_batch(enc_params, dec_params, imgs, step_rng))
         t_total += time.perf_counter() - t0
         # One device->host transfer per field, then index in numpy — per-image
         # device slicing would issue ~8*B tiny transfers over the tunnel.
@@ -78,16 +99,22 @@ def main():
         n_imgs += len(imgs)
         for i in range(len(imgs)):
             res_i = jax.tree_util.tree_map(lambda x: x[i], result)
-            tokens, _ = extract_caption(res_i)
+            if args.decode == "beam":
+                tokens, _ = extract_caption(res_i)
+                extra = {"score": float(res_i.score),
+                         "completed": bool(res_i.found)}
+            else:
+                toks, length = res_i
+                n_incl = min(int(length) + 1, toks.shape[0])
+                tokens = [dcfg.start_token] + toks[:n_incl].tolist()
+                extra = {"completed": int(length) < toks.shape[0]}
             words = decode(tokens)
             hypotheses.append(words)
             all_refs.append([decode(c) for c in all_captions[i].tolist()])
             if out_f:
                 out_f.write(json.dumps({
                     "img_path": ds.img_paths[row],
-                    "caption": " ".join(words),
-                    "score": float(res_i.score),
-                    "completed": bool(res_i.found)}) + "\n")
+                    "caption": " ".join(words), **extra}) + "\n")
             row += 1
     if out_f:
         out_f.close()
@@ -95,7 +122,7 @@ def main():
     bleu = compute_bleu(all_refs, hypotheses)
     print(json.dumps({
         "split": args.split, "images": n_imgs,
-        "beam_size": args.beam_size,
+        "decode": args.decode, "beam_size": args.beam_size,
         "captions_per_sec": round(n_imgs / max(t_total, 1e-9), 2),
         **{k: round(v, 4) for k, v in bleu.items()},
     }))

@@ -7,8 +7,10 @@ the per-word attention grid.
 Additions over the reference: `--model-config` defaults to the
 model_config.json next to `--model` (the reference requires a W&B run for
 local loads, generate_caption.py:35-36), `--beam-size`, `--out` for the
-figure path (headless), and `--encoder-weights` for ported pretrained
-encoder params. W&B restore is supported when the package is installed.
+figure path (headless), `--encoder-weights` for ported pretrained encoder
+params, and `--decode {beam,greedy,sample}` with temperature/top-k/top-p
+knobs (the reference offers beam only). W&B restore is supported when the
+package is installed.
 """
 
 import argparse
@@ -73,21 +75,62 @@ def load_model(model_path=None, model_config_path=None, wandb_run=None,
     return cfg, dcfg, enc_params, dec_params, word_dict, tokenizer
 
 
+def decode_single_image(dcfg, dec_params, features, decode="beam",
+                        beam_size=3, temperature=1.0, top_k=0, top_p=1.0,
+                        seed=0):
+    """Decode one image's (L, D) annotation grid with the chosen strategy.
+
+    Returns (token_list, alphas (n, L)) shaped like beam's extract_caption:
+    the list starts with the start token and its alpha row is all-ones
+    (reference decoder.py:173), so the attention grid renders identically
+    for every decode mode.
+    """
+    import jax
+    import numpy as np
+    from sat_tpu.models import beam as beam_mod
+
+    if decode == "beam":
+        result = jax.jit(
+            lambda p, f: beam_mod.beam_search(p, dcfg, f, beam_size),
+        )(dec_params, features)
+        return beam_mod.extract_caption(result)
+
+    feats_b = features[None]
+    if decode == "greedy":
+        toks, lengths, alphas = jax.jit(
+            lambda p, f: beam_mod.greedy_caption(p, dcfg, f, with_alphas=True),
+        )(dec_params, feats_b)
+    elif decode == "sample":
+        toks, lengths, alphas = jax.jit(
+            lambda p, f, r: beam_mod.sample_caption(
+                p, dcfg, f, r, temperature=temperature, top_k=top_k,
+                top_p=top_p, with_alphas=True),
+        )(dec_params, feats_b, jax.random.PRNGKey(seed))
+    else:
+        raise ValueError(f"unknown decode mode {decode!r}")
+    toks = np.asarray(toks[0])
+    alphas = np.asarray(alphas[0])
+    n_incl = min(int(lengths[0]) + 1, toks.shape[0])  # include the stop token
+    sentence = [dcfg.start_token] + toks[:n_incl].tolist()
+    alpha = np.concatenate(
+        [np.ones((1, alphas.shape[1]), alphas.dtype), alphas[:n_incl]])
+    return sentence, alpha
+
+
 def generate_caption_visualization(img_path, cfg, dcfg, enc_params, dec_params,
                                    word_dict, tokenizer, beam_size=3,
-                                   smooth=True, out_path=None):
-    import jax
+                                   smooth=True, out_path=None, decode="beam",
+                                   temperature=1.0, top_k=0, top_p=1.0,
+                                   seed=0):
     from sat_tpu.data.transforms import load_and_preprocess_image, pil_loader
-    from sat_tpu.models.beam import beam_search, extract_caption
     from sat_tpu.models.encoder import encoder_forward
     from sat_tpu.utils.viz import save_caption_grid
 
     img = load_and_preprocess_image(img_path, cfg.image_size)[None]  # (1, S, S, 3)
     features = encoder_forward(enc_params, cfg.network, img)[0]
-    result = jax.jit(
-        lambda p, f: beam_search(p, dcfg, f, beam_size),
-    )(dec_params, features)
-    sentence, alpha = extract_caption(result)
+    sentence, alpha = decode_single_image(
+        dcfg, dec_params, features, decode=decode, beam_size=beam_size,
+        temperature=temperature, top_k=top_k, top_p=top_p, seed=seed)
 
     if cfg.bert:
         sentence_tokens = tokenizer.decode(sentence,
@@ -135,6 +178,19 @@ def main():
     parser.add_argument("--wandb-run", type=str, help="wandb run path", default=None)
     parser.add_argument("--wandb-model", type=str, help="wandb model path", default=None)
     parser.add_argument("--beam-size", type=int, default=3)
+    parser.add_argument("--decode", choices=["beam", "greedy", "sample"],
+                        default="beam",
+                        help="decoding strategy (default: beam, reference "
+                             "parity; greedy = argmax fast path; sample = "
+                             "temperature/top-k/top-p)")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="sampling temperature (--decode sample)")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="top-k truncation, 0 = off (--decode sample)")
+    parser.add_argument("--top-p", type=float, default=1.0,
+                        help="nucleus mass, 1.0 = off (--decode sample)")
+    parser.add_argument("--sample-seed", type=int, default=0,
+                        help="PRNG seed for --decode sample")
     parser.add_argument("--out", type=str, default=None,
                         help="output path for the attention figure")
     parser.add_argument("--encoder-weights", type=str, default=None,
@@ -148,7 +204,11 @@ def main():
         args.encoder_weights, args.bert_vocab)
     generate_caption_visualization(args.img_path, cfg, dcfg, enc_params,
                                    dec_params, word_dict, tokenizer,
-                                   beam_size=args.beam_size, out_path=args.out)
+                                   beam_size=args.beam_size, out_path=args.out,
+                                   decode=args.decode,
+                                   temperature=args.temperature,
+                                   top_k=args.top_k, top_p=args.top_p,
+                                   seed=args.sample_seed)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,9 @@ class Config:
                                  # log-interval batches (reference syncs
                                  # every batch via .item(); that costs
                                  # ~1-3ms/step over the tunnel)
+    rep_penalty_beta: float = 0.0  # weight of the reference's dormant
+                                   # repetition penalty (train.py:156-159,
+                                   # 357-384); 0.0 = reference parity (off)
 
     @property
     def encoder_dim(self) -> int:
@@ -225,6 +228,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="sync train metrics only at log-interval "
                              "batches (default: every batch, like the "
                              "reference)")
+    parser.add_argument("--rep-penalty-beta", type=float, default=0.0,
+                        help="weight of the repetition penalty loss term "
+                             "(the reference's dormant train.py:357-384; "
+                             "default 0.0 = off, reference parity)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

@@ -20,8 +20,11 @@ Semantics preserved from the reference:
     n-gram max counts nor closest-reference length).
 
 Multi-host: pass shard_index/shard_count (defaults cover single host) and
-each host reads a disjoint stripe of every batch — the per-host half of the
-data-parallel input pipeline (the device half lives in sat_tpu.parallel).
+each host reads a disjoint stripe of every batch (host h takes every H-th
+row of the epoch permutation, so hosts' local batches interleave into the
+same logical global batches a single-host run would form) — the per-host
+half of the data-parallel input pipeline (the device half lives in
+sat_tpu.parallel).
 """
 
 from __future__ import annotations
@@ -135,9 +138,15 @@ class BatchLoader:
             order = np.random.default_rng((self.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
+        if self.shard_count == 1:
+            return order
+        # Per-batch striping: host h takes order[h::H], so the union of all
+        # hosts' batch b is exactly order[b*bs*H : (b+1)*bs*H] — the same
+        # logical global batch a single-host run with batch size bs*H would
+        # see (row order within the batch differs, which mean-based loss and
+        # accuracy metrics are invariant to).
         per_shard = n // self.shard_count
-        start = self.shard_index * per_shard
-        return order[start:start + per_shard] if self.shard_count > 1 else order
+        return order[:per_shard * self.shard_count][self.shard_index::self.shard_count]
 
     def _make_batch(self, idxs: np.ndarray):
         imgs = (np.stack([self.dataset.load_image(i) for i in idxs])

@@ -22,17 +22,35 @@ import numpy as np
 import jax
 
 
+def _fetch_host(leaf) -> np.ndarray:
+    """Materialize a leaf as a host numpy array.
+
+    On multi-host runs a leaf sharded across processes (e.g. the vocab-dim
+    tensor-parallel output head) is not fully addressable and np.asarray
+    raises; gather it first. All hosts must call this together (the gather
+    is a collective)."""
+    if (hasattr(leaf, "is_fully_addressable") and not leaf.is_fully_addressable
+            and not getattr(leaf, "is_fully_replicated", False)):
+        from jax.experimental import multihost_utils
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def _flatten_with_names(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for key_path, leaf in flat:
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in key_path)
-        out[name] = np.asarray(leaf)
+        out[name] = _fetch_host(leaf)
     return out
 
 
 def tree_save_npz(path: str, tree) -> None:
-    np.savez(path, **_flatten_with_names(tree))
+    """Flatten + write. On multi-host, every process must call (sharded
+    leaves gather collectively) but only process 0 writes the file."""
+    flat = _flatten_with_names(tree)
+    if jax.process_index() == 0:
+        np.savez(path, **flat)
 
 
 def tree_load_npz(path: str, template):
@@ -79,15 +97,53 @@ def load_decoder_checkpoint(path: str, template, strict: bool = True):
 
 # ------------------------------------------------------------------ orbax
 
-def save_train_state(checkpoint_dir: str, step: int, state_tree) -> None:
-    import orbax.checkpoint as ocp
+_async_ckptr = None
+
+
+def _checkpointer():
+    """Singleton async checkpointer: StandardCheckpointer is an
+    AsyncCheckpointer, so `save` returns once the on-device state is copied
+    to host and the serialization/write runs on a background thread — the
+    step loop is not blocked on filesystem I/O (SURVEY §5's async plan)."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+        _async_ckptr = ocp.StandardCheckpointer()
+        # An in-flight background save must commit before the interpreter
+        # tears down its executor pools, or the checkpoint is lost
+        # half-written ("cannot schedule new futures after shutdown").
+        # Plain atexit is too late: CPython runs threading._shutdown (where
+        # concurrent.futures flips its shutdown flag) BEFORE atexit
+        # handlers, so register on threading's list, which runs
+        # newest-first — our wait precedes the executor shutdown hook.
+        import threading
+        if hasattr(threading, "_register_atexit"):
+            threading._register_atexit(wait_for_saves)
+        else:  # pragma: no cover - very old Python
+            import atexit
+            atexit.register(wait_for_saves)
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async train-state save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_train_state(checkpoint_dir: str, step: int, state_tree,
+                     blocking: bool = False) -> None:
     path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    # Orbax serializes overlapping async saves itself (a new save waits for
+    # the previous commit), so back-to-back epochs are safe.
     ckptr.save(path, state_tree, force=True)
-    ckptr.wait_until_finished()
+    if blocking:
+        ckptr.wait_until_finished()
 
 
 def latest_train_state_step(checkpoint_dir: str) -> Optional[int]:
+    wait_for_saves()
     root = os.path.join(checkpoint_dir, "orbax")
     if not os.path.isdir(root):
         return None
@@ -96,7 +152,6 @@ def latest_train_state_step(checkpoint_dir: str) -> Optional[int]:
 
 
 def restore_train_state(checkpoint_dir: str, step: int, template):
-    import orbax.checkpoint as ocp
+    wait_for_saves()
     path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    return _checkpointer().restore(path, template)

@@ -62,17 +62,32 @@ def step_lr(base_lr: float, epoch: int, step_size: int, gamma: float = 0.1) -> f
     return base_lr * (gamma ** ((epoch - 1) // step_size))
 
 
+def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad the leading dim up to a multiple (for sharding a bank array
+    over the data axis). Padding rows are never indexed — row maps only
+    point at real rows."""
+    pad = (-a.shape[0]) % max(multiple, 1)
+    if pad:
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a
+
+
 def _pad_batch(arrs, multiple: int):
     """Pad the batch dim up to `multiple` by repeating the last row, so
-    sharded device_put divides evenly. Returns (padded_arrays, n_real).
-    Only triggers on multi-device data meshes; single-device runs are
-    untouched (exact reference metric parity there)."""
+    sharded device_put divides evenly. Returns (padded_arrays, row_mask)
+    where row_mask is a (padded_B,) bool array marking the real rows, or
+    None when no padding happened. Only triggers on multi-device data
+    meshes; single-device runs are untouched (exact reference metric parity
+    there). The mask flows into the jitted step so padded rows are excluded
+    from loss, gradients, and meters — padded multi-device batches report
+    the same numbers as the unpadded batch."""
     n = arrs[0].shape[0]
     if multiple <= 1 or n % multiple == 0:
-        return arrs, n
+        return arrs, None
     target = ((n + multiple - 1) // multiple) * multiple
     pad = target - n
-    return [np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) for a in arrs], n
+    mask = np.arange(target) < n
+    return [np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) for a in arrs], mask
 
 
 class Trainer:
@@ -193,29 +208,43 @@ class Trainer:
             # than host-side gather + 25MB/step transfers on v5e).
             self.use_bank = total_bytes <= cfg.feature_bank_hbm_gb * (1 << 30)
             if self.use_bank:
-                rep = replicated(self.mesh)
+                # On a multi-device mesh the bank is SHARDED over the data
+                # axis (leading unique-image dim, padded to divide), not
+                # replicated — a 2.4GB Flickr8k bank would otherwise cost
+                # n_devices x HBM. The per-step feat_bank[img_idx] gather
+                # then compiles to XLA collectives over ICI; numerics are
+                # identical (asserted in tests/test_parallel.py).
+                sh = (batch_sharding(self.mesh) if self.n_data > 1
+                      else replicated(self.mesh))
                 for loader in (self.train_loader, self.val_loader,
                                self.test_loader):
                     split = loader.split
                     self.bank[split] = {
-                        "feats": jax.device_put(self.features[split], rep),
-                        "caps": jax.device_put(loader.dataset.captions, rep),
+                        "feats": self._put_global(
+                            _pad_rows(self.features[split], self.n_data), sh),
+                        "caps": self._put_global(
+                            _pad_rows(loader.dataset.captions, self.n_data), sh),
                         "rows": self.row_map[split],
                     }
-                print(f"Feature bank resident in HBM "
-                      f"({total_bytes / (1 << 20):.0f} MB)")
+                kind = (f"sharded {self.n_data}-way" if self.n_data > 1
+                        else "replicated")
+                print(f"Feature bank resident in HBM ({kind}, "
+                      f"{total_bytes / (1 << 20):.0f} MB total)")
             else:
                 print(f"Feature cache ({total_bytes / (1 << 30):.1f} GB) "
                       f"exceeds --feature-bank-hbm-gb; using host gather")
 
         # ---- steps ----
         if self.use_bank:
-            self.train_step = make_bank_train_step(self.dcfg, cfg.alpha_c)
+            self.train_step = make_bank_train_step(
+                self.dcfg, cfg.alpha_c,
+                rep_penalty_beta=cfg.rep_penalty_beta)
             self.eval_step = make_bank_eval_step(self.dcfg, cfg.alpha_c)
         else:
             self.train_step = make_train_step(self.dcfg, cfg.network,
                                               cfg.alpha_c, cfg.bf16_encoder,
-                                              from_features=cfg.cache_features)
+                                              from_features=cfg.cache_features,
+                                              rep_penalty_beta=cfg.rep_penalty_beta)
             self.eval_step = make_eval_step(self.dcfg, cfg.network,
                                             cfg.alpha_c, cfg.bf16_encoder,
                                             from_features=cfg.cache_features)
@@ -231,8 +260,8 @@ class Trainer:
 
     # ------------------------------------------------------------- epochs
 
-    def _put(self, imgs, captions):
-        """Place a host-local batch onto the mesh.
+    def _put(self, *arrs):
+        """Place host-local batch arrays onto the mesh (None passes through).
 
         Single-process: plain device_put with the batch sharding.
         Multi-process: each host holds a disjoint stripe of the global
@@ -242,13 +271,25 @@ class Trainer:
         silently drop most rows.
         """
         if jax.process_count() == 1:
-            return (jax.device_put(imgs, self.batch_sharding),
-                    jax.device_put(captions, self.batch_sharding))
+            return tuple(None if a is None
+                         else jax.device_put(a, self.batch_sharding)
+                         for a in arrs)
         H = jax.process_count()
         mk = jax.make_array_from_process_local_data
-        return (mk(self.batch_sharding, imgs, (imgs.shape[0] * H,) + imgs.shape[1:]),
-                mk(self.batch_sharding, captions,
-                   (captions.shape[0] * H,) + captions.shape[1:]))
+        return tuple(None if a is None
+                     else mk(self.batch_sharding, a,
+                             (a.shape[0] * H,) + a.shape[1:])
+                     for a in arrs)
+
+    def _put_global(self, arr, sharding):
+        """Place a host-complete array under a (possibly cross-process)
+        sharding. Every host holds the full array (the feature bank is
+        precomputed identically everywhere), so make_array_from_callback
+        serves each device its slice — works single- and multi-process,
+        unlike device_put to non-addressable devices."""
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
 
     def _precompute_split_features(self, ds, batch: int = 16):
         """Encode each unique image once; returns (features (U, L, D) np,
@@ -285,36 +326,42 @@ class Trainer:
         return imgs
 
     def _put_indices(self, split, idxs):
-        """Bank path: pad + place (img_idx, row_idx) on the data axis."""
-        (idxs,), _ = _pad_batch([np.asarray(idxs, np.int32)], self.pad_multiple)
+        """Bank path: pad + place (img_idx, row_idx, row_mask) on the data
+        axis. Multi-process batches are assembled with
+        make_array_from_process_local_data via `_put`, like the image path —
+        a plain device_put of the host-local indices would masquerade as the
+        (smaller) global batch and silently drop most rows."""
+        (idxs,), mask = _pad_batch([np.asarray(idxs, np.int32)],
+                                   self.pad_multiple)
         img_idx = self.bank[split]["rows"][idxs].astype(np.int32)
-        return (jax.device_put(img_idx, self.batch_sharding),
-                jax.device_put(idxs, self.batch_sharding))
+        return self._put(img_idx, idxs, mask)
 
     def _run_train_step(self, split, imgs, captions, idxs, lr, rng):
         if self.use_bank:
-            img_idx, row_idx = self._put_indices(split, idxs)
+            img_idx, row_idx, mask = self._put_indices(split, idxs)
             b = self.bank[split]
             return self.train_step(self.state, b["feats"], b["caps"],
-                                   img_idx, row_idx, jnp.float32(lr), rng)
+                                   img_idx, row_idx, jnp.float32(lr), rng,
+                                   mask)
         inputs = self._step_inputs(split, imgs, idxs)
-        (inputs, captions), _ = _pad_batch([inputs, captions], self.pad_multiple)
-        d_inputs, d_captions = self._put(inputs, captions)
+        (inputs, captions), mask = _pad_batch([inputs, captions],
+                                              self.pad_multiple)
+        d_inputs, d_captions, d_mask = self._put(inputs, captions, mask)
         return self.train_step(self.state, self.enc_params, d_inputs,
-                               d_captions, jnp.float32(lr), rng)
+                               d_captions, jnp.float32(lr), rng, d_mask)
 
     def _run_eval_step(self, split, imgs, captions, idxs):
         if self.use_bank:
-            img_idx, row_idx = self._put_indices(split, idxs)
+            img_idx, row_idx, mask = self._put_indices(split, idxs)
             b = self.bank[split]
             return self.eval_step(self.state.params, b["feats"], b["caps"],
-                                  img_idx, row_idx)
+                                  img_idx, row_idx, mask)
         inputs = self._step_inputs(split, imgs, idxs)
-        (p_inputs, p_captions), _ = _pad_batch([inputs, captions],
-                                               self.pad_multiple)
-        d_inputs, d_captions = self._put(p_inputs, p_captions)
+        (p_inputs, p_captions), mask = _pad_batch([inputs, captions],
+                                                  self.pad_multiple)
+        d_inputs, d_captions, d_mask = self._put(p_inputs, p_captions, mask)
         return self.eval_step(self.state.params, self.enc_params, d_inputs,
-                              d_captions)
+                              d_captions, d_mask)
 
     def train_epoch(self, epoch: int) -> None:
         print(f"Epoch {epoch} - Starting train")
@@ -408,11 +455,17 @@ class Trainer:
                         print(f"No caption for image {img_idx}, skipping "
                               f"attention visualization")
                         break
+                    png = os.path.join(viz_dir, f"b{batch_idx}_i{img_idx}.png")
                     save_attention_plot(
-                        os.path.join(viz_dir, f"b{batch_idx}_i{img_idx}.png"),
-                        denormalize(imgs[img_idx]), words,
+                        png, denormalize(imgs[img_idx]), words,
                         alphas_np[img_idx], cfg.grid_side,
                         reference_caption=" ".join(batch_captions[img_idx]))
+                    # Reference logs the visualization pairs through W&B
+                    # (train.py:317, 431-433); route through the metric
+                    # backend in addition to the on-disk PNG.
+                    self.logger.log_image(
+                        f"attention_viz/e{epoch}_b{batch_idx}_i{img_idx}",
+                        png, caption=" ".join(words))
                     viz_count += 1
 
         bleu = compute_bleu(decoded_all_captions, decoded_hypotheses)
@@ -446,16 +499,25 @@ class Trainer:
         return self.run_evaluation(epoch, self.test_loader, EvalMode.TEST)
 
     def save_epoch(self, epoch: int) -> str:
+        """Per-epoch decoder .npz + model_config.json (reference
+        train.py:102-110) + an Orbax train-state checkpoint.
+
+        Every host participates in `save_decoder_checkpoint` (param leaves
+        that are sharded across processes need an all-gather, which is a
+        collective) but only process 0 touches the filesystem — on multi-host
+        runs with a shared checkpoint dir the hosts must not race on the
+        same files. The Orbax save is itself multi-host-aware.
+        """
         cfg = self.cfg
         path = ckpt.save_decoder_checkpoint(cfg.checkpoint_dir, cfg.network,
                                             epoch, self.state.params)
-        self.logger.save_file(path)
-        config_path = os.path.join(cfg.checkpoint_dir, "model_config.json")
-        cfg.save_model_config(config_path)
-        self.logger.save_file(config_path)
         if jax.process_index() == 0:
-            ckpt.save_train_state(cfg.checkpoint_dir, int(self.state.step),
-                                  {"state": self.state, "epoch": epoch})
+            self.logger.save_file(path)
+            config_path = os.path.join(cfg.checkpoint_dir, "model_config.json")
+            cfg.save_model_config(config_path)
+            self.logger.save_file(config_path)
+        ckpt.save_train_state(cfg.checkpoint_dir, int(self.state.step),
+                              {"state": self.state, "epoch": epoch})
         return path
 
     def fit(self) -> dict:
@@ -468,6 +530,7 @@ class Trainer:
             self.save_epoch(epoch)
         if cfg.perform_test:
             last = self.test(max(epoch, self.start_epoch))
+        ckpt.wait_for_saves()   # commit any in-flight async orbax save
         self.logger.finish()
         return last
 

@@ -256,13 +256,15 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
 
 def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
-                   max_steps: int = constants.BEAM_MAX_STEPS):
+                   max_steps: int = constants.BEAM_MAX_STEPS,
+                   with_alphas: bool = False):
     """Greedy (argmax) decode of a batch of images — the beam=1 fast path
     without top-k machinery. features: (B, L, D).
 
     Returns (tokens (B, max_steps), lengths (B,)): tokens after each row's
     first stop id are padded with it; `lengths` is the index of that stop
-    (== max_steps when none was emitted).
+    (== max_steps when none was emitted). `with_alphas=True` appends the
+    per-step attention maps (B, max_steps, L) for visualization.
     """
     B = features.shape[0]
     stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
@@ -274,32 +276,36 @@ def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     def step(carry, _):
         h, c, prev, done = carry
         emb = embed_tokens(params, cfg, prev)
-        h, c, logits, _, _ = decode_step(params, cfg, features, keys, h, c,
-                                         emb, None)
+        h, c, logits, alpha, _ = decode_step(params, cfg, features, keys, h, c,
+                                             emb, None)
         nxt = logits.argmax(axis=1).astype(jnp.int32)
         nxt = jnp.where(done, prev, nxt)
         done = done | (nxt == stop_a) | (nxt == stop_b)
-        return (h, c, nxt, done), nxt
+        return (h, c, nxt, done), (nxt, alpha)
 
-    (_, _, _, done), toks = jax.lax.scan(
+    (_, _, _, done), (toks, alphas) = jax.lax.scan(
         step, (h, c, start, jnp.zeros((B,), bool)), None, length=max_steps)
     toks = jnp.swapaxes(toks, 0, 1)                     # (B, max_steps)
     is_stop = (toks == stop_a) | (toks == stop_b)
     lengths = jnp.where(is_stop.any(axis=1),
                         is_stop.argmax(axis=1), max_steps)
+    if with_alphas:
+        return toks, lengths, jnp.swapaxes(alphas, 0, 1)
     return toks, lengths
 
 
 def sample_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                    rng: jax.Array, temperature: float = 1.0,
                    top_k: int = 0, top_p: float = 1.0,
-                   max_steps: int = constants.BEAM_MAX_STEPS):
+                   max_steps: int = constants.BEAM_MAX_STEPS,
+                   with_alphas: bool = False):
     """Stochastic decode of a batch of images (beyond reference parity — the
     reference offers only beam search; this is the standard serving
     alternative). Logits are softmaxed at `temperature`, optionally
     truncated to the top-k ids and/or the top-p (nucleus) mass, then
     sampled. features: (B, L, D); returns (tokens (B, max_steps),
-    lengths (B,)) with the same stop/pad semantics as `greedy_caption`."""
+    lengths (B,)) with the same stop/pad semantics as `greedy_caption`,
+    plus alphas (B, max_steps, L) when `with_alphas=True`."""
     B = features.shape[0]
     V = cfg.effective_vocab_size
     stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert
@@ -330,19 +336,21 @@ def sample_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     def step(carry, rng_t):
         h, c, prev, done = carry
         emb = embed_tokens(params, cfg, prev)
-        h, c, logits, _, _ = decode_step(params, cfg, features, keys, h, c,
-                                         emb, None)
+        h, c, logits, alpha, _ = decode_step(params, cfg, features, keys, h, c,
+                                             emb, None)
         nxt = jax.random.categorical(rng_t, filter_logits(logits),
                                      axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, prev, nxt)
         done = done | (nxt == stop_a) | (nxt == stop_b)
-        return (h, c, nxt, done), nxt
+        return (h, c, nxt, done), (nxt, alpha)
 
-    (_, _, _, done), toks = jax.lax.scan(
+    (_, _, _, done), (toks, alphas) = jax.lax.scan(
         step, (h, c, start, jnp.zeros((B,), bool)), step_rngs)
     toks = jnp.swapaxes(toks, 0, 1)
     is_stop = (toks == stop_a) | (toks == stop_b)
     lengths = jnp.where(is_stop.any(axis=1), is_stop.argmax(axis=1), max_steps)
+    if with_alphas:
+        return toks, lengths, jnp.swapaxes(alphas, 0, 1)
     return toks, lengths
 
 

@@ -30,6 +30,7 @@ from sat_tpu.utils.metrics import (
     attention_regularization,
     calculate_caption_lengths,
     reference_packed_cross_entropy,
+    repetition_penalty,
     sequence_accuracy,
 )
 
@@ -60,37 +61,61 @@ def special_ids(use_bert: bool):
 
 
 def _loss_and_metrics(dcfg: DecoderConfig, alpha_c: float, params, features,
-                      captions, rng, train: bool):
+                      captions, rng, train: bool, row_mask=None,
+                      rep_penalty_beta: float = 0.0):
+    """`row_mask` (B,) bool marks the real rows of a batch that was padded
+    (duplicated last row) to divide a device mesh; padded rows are excluded
+    from the loss, gradients, and every metric, so multi-device runs report
+    the same numbers as the unpadded batch. None = all rows real.
+
+    `rep_penalty_beta` wires the reference's dormant repetition penalty
+    (reference train.py:156-159, 357-384) as an optional loss term; 0.0
+    (the default) is exact reference parity — the term is not even traced.
+    """
     preds, alphas = decoder_forward(params, dcfg, features, captions,
                                     rng=rng, train=train)
     targets = captions[:, 1:]
-    ce = reference_packed_cross_entropy(preds, targets)
-    att_reg = attention_regularization(alphas, alpha_c)
+    ce = reference_packed_cross_entropy(preds, targets, row_mask)
+    att_reg = attention_regularization(alphas, alpha_c, row_mask)
     loss = ce + att_reg
     pad_id, skip_ids = special_ids(dcfg.use_bert)
+    if rep_penalty_beta:
+        # ignore ids per the reference's commented call site
+        # (train.py:156-159): [padding_idx, start_idx].
+        loss = loss + repetition_penalty(preds, (pad_id, dcfg.start_token),
+                                         rep_penalty_beta, row_mask)
     metrics = {
         "loss": loss,
-        "acc1": sequence_accuracy(preds, targets, 1, ignore_index=pad_id),
-        "acc5": sequence_accuracy(preds, targets, 5, ignore_index=pad_id),
-        "caption_length": calculate_caption_lengths(captions, skip_ids),
+        "acc1": sequence_accuracy(preds, targets, 1, ignore_index=pad_id,
+                                  row_mask=row_mask),
+        "acc5": sequence_accuracy(preds, targets, 5, ignore_index=pad_id,
+                                  row_mask=row_mask),
+        "caption_length": calculate_caption_lengths(captions, skip_ids,
+                                                    row_mask),
     }
     return loss, (metrics, preds, alphas)
 
 
 def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
-                    bf16_encoder: bool = False, from_features: bool = False):
-    """Returns jitted `step(state, enc_params, imgs, captions, lr, rng)
-    -> (state, metrics)`.
+                    bf16_encoder: bool = False, from_features: bool = False,
+                    rep_penalty_beta: float = 0.0):
+    """Returns jitted `step(state, enc_params, imgs, captions, lr, rng,
+    row_mask=None) -> (state, metrics)`.
 
     With `from_features=True` the third argument is the precomputed
     annotation grid (B, L, D) and the encoder is skipped entirely — the
     feature-cache training path (identical numerics: the encoder is frozen
     and always in eval mode, reference train.py:122 + encoder.py:29-31).
+
+    `row_mask` (B,) bool excludes batch-padding rows from loss/grads/metrics
+    (multi-device meshes pad batches to divide the data axis); None = all
+    rows real.
     """
     tx = make_optimizer()
     compute_dtype = jnp.bfloat16 if bf16_encoder else None
 
-    def step_fn(state: TrainState, enc_params, imgs, captions, lr, rng):
+    def step_fn(state: TrainState, enc_params, imgs, captions, lr, rng,
+                row_mask=None):
         if from_features:
             features = imgs
         else:
@@ -99,7 +124,8 @@ def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
 
         (loss, aux), grads = jax.value_and_grad(
             lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
-                                        captions, rng, True),
+                                        captions, rng, True, row_mask,
+                                        rep_penalty_beta),
             has_aux=True)(state.params)
         metrics = aux[0]
 
@@ -113,7 +139,8 @@ def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float):
+def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float,
+                         rep_penalty_beta: float = 0.0):
     """Feature-bank training step: the entire frozen-encoder feature cache
     lives in HBM and the host ships only row indices per step.
 
@@ -123,17 +150,18 @@ def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float):
     constraint once features are cached.
 
     Returns jitted `step(state, feat_bank (U, L, D), caps_bank (N, T),
-    img_idx (B,), row_idx (B,), lr, rng) -> (state, metrics)`.
+    img_idx (B,), row_idx (B,), lr, rng, row_mask=None) -> (state, metrics)`.
     """
     tx = make_optimizer()
 
     def step_fn(state: TrainState, feat_bank, caps_bank, img_idx, row_idx,
-                lr, rng):
+                lr, rng, row_mask=None):
         features = feat_bank[img_idx]
         captions = caps_bank[row_idx]
         (loss, aux), grads = jax.value_and_grad(
             lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
-                                        captions, rng, True),
+                                        captions, rng, True, row_mask,
+                                        rep_penalty_beta),
             has_aux=True)(state.params)
         metrics = aux[0]
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -149,11 +177,12 @@ def make_bank_eval_step(dcfg: DecoderConfig, alpha_c: float):
     """Feature-bank eval step: indices in, metrics + argmax tokens +
     alphas out."""
 
-    def eval_fn(params, feat_bank, caps_bank, img_idx, row_idx):
+    def eval_fn(params, feat_bank, caps_bank, img_idx, row_idx,
+                row_mask=None):
         features = feat_bank[img_idx]
         captions = caps_bank[row_idx]
         _, (metrics, preds, alphas) = _loss_and_metrics(
-            dcfg, alpha_c, params, features, captions, None, False)
+            dcfg, alpha_c, params, features, captions, None, False, row_mask)
         pred_tokens = preds.argmax(axis=2).astype(jnp.int32)
         return metrics, pred_tokens, alphas
 
@@ -162,21 +191,21 @@ def make_bank_eval_step(dcfg: DecoderConfig, alpha_c: float):
 
 def make_eval_step(dcfg: DecoderConfig, network: str, alpha_c: float,
                    bf16_encoder: bool = False, from_features: bool = False):
-    """Returns jitted `eval(params, enc_params, imgs, captions)
-    -> (metrics, pred_tokens (B,T), alphas (B,T,L))`.
+    """Returns jitted `eval(params, enc_params, imgs, captions,
+    row_mask=None) -> (metrics, pred_tokens (B,T), alphas (B,T,L))`.
 
     Only argmax token ids leave the device (the reference ships full logits
     to host for `torch.max`, train.py:272,297). `from_features=True` takes
     precomputed annotation grids instead of images."""
     compute_dtype = jnp.bfloat16 if bf16_encoder else None
 
-    def eval_fn(params, enc_params, imgs, captions):
+    def eval_fn(params, enc_params, imgs, captions, row_mask=None):
         if from_features:
             features = imgs
         else:
             features = encoder_forward(enc_params, network, imgs, compute_dtype)
         _, (metrics, preds, alphas) = _loss_and_metrics(
-            dcfg, alpha_c, params, features, captions, None, False)
+            dcfg, alpha_c, params, features, captions, None, False, row_mask)
         pred_tokens = preds.argmax(axis=2).astype(jnp.int32)
         return metrics, pred_tokens, alphas
 

@@ -50,6 +50,20 @@ class MetricLogger:
                 table.add_data(*r)
             self._wandb.log({name: table})
 
+    def log_image(self, name: str, path: str, caption: str | None = None) -> None:
+        """Image channel — the analogue of the reference's ≤50 test-split
+        attention visualizations logged to W&B (reference train.py:317,
+        431-433). The figure is rendered to `path` by the caller; this logs
+        it through the metric backends: W&B gets a wandb.Image, JSONL
+        records the file path + caption."""
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({"time": time.time(), "image": name,
+                                          "path": path,
+                                          "caption": caption}) + "\n")
+            self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(path, caption=caption)})
+
     def save_file(self, path: str) -> None:
         if self._wandb is not None:
             self._wandb.save(path)

@@ -41,3 +41,19 @@ def test_caption_split_cli(tmp_path, monkeypatch, capsys):
     rows = [json.loads(l) for l in open(out_path)]
     assert len(rows) == 4
     assert all("caption" in r and "img_path" in r for r in rows)
+
+    # --decode greedy and --decode sample drive the same CLI surface
+    for mode, extra in (("greedy", []),
+                        ("sample", ["--temperature", "0.8", "--top-k", "4"])):
+        out_m = str(tmp_path / f"caps_{mode}.jsonl")
+        monkeypatch.setattr(sys, "argv", [
+            "caption_split.py", "--model",
+            str(tmp_path / "model" / "model_vgg19_1.npz"),
+            "--split", "test", "--decode", mode, "--batch-size", "2",
+            "--out", out_m] + extra)
+        caption_split.main()
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["decode"] == mode
+        assert summary["images"] == 4
+        rows = [json.loads(l) for l in open(out_m)]
+        assert len(rows) == 4 and all("caption" in r for r in rows)

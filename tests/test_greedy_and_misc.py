@@ -39,6 +39,38 @@ def test_greedy_matches_beam_size_1():
             assert t_beam[1:] == np.asarray(toks[i])[:n + 1].tolist()
 
 
+def test_decode_single_image_modes():
+    """generate_caption's --decode surface: every mode returns a sentence
+    that starts with the start token and alphas aligned row-for-row."""
+    import jax
+    from sat_tpu.models import DecoderConfig, init_decoder_params
+    from generate_caption import decode_single_image
+
+    cfg = DecoderConfig(vocab_size=40, encoder_dim=32, use_attention=True)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    feats = np.random.default_rng(1).normal(size=(9, 32)).astype(np.float32)
+
+    for mode in ("beam", "greedy", "sample"):
+        sentence, alpha = decode_single_image(
+            cfg, params, feats, decode=mode, beam_size=2, temperature=0.7,
+            top_k=5, seed=3)
+        assert len(sentence) >= 1
+        assert alpha.shape == (len(sentence), 9)
+        if mode != "beam" or len(sentence) > 1:
+            # beam's no-completion fallback is [0] + the final attention map
+            # (reference decoder.py:256-258); every other shape starts with
+            # the start token and an all-ones alpha row.
+            assert sentence[0] == cfg.start_token
+            np.testing.assert_allclose(alpha[0], np.ones(9), atol=1e-6)
+
+    # greedy via the CLI helper == greedy_caption directly
+    from sat_tpu.models.beam import greedy_caption
+    toks, lengths = greedy_caption(params, cfg, feats[None])
+    n = min(int(lengths[0]) + 1, toks.shape[1])
+    sentence, _ = decode_single_image(cfg, params, feats, decode="greedy")
+    assert sentence == [cfg.start_token] + np.asarray(toks[0])[:n].tolist()
+
+
 def test_step_lr_schedule():
     from sat_tpu.engine.loop import step_lr
     # reference: StepLR(step_size=5, gamma=0.1), stepped after each epoch

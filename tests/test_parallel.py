@@ -93,6 +93,176 @@ def test_dp_matches_single_device_math():
     np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-6)
 
 
+def test_padded_batch_metrics_match_unpadded():
+    """A batch padded (last row repeated) to divide the 8-device mesh must
+    report the same loss/acc/caption_length — and take the same optimizer
+    update — as the unpadded batch on one device, thanks to the row mask
+    (VERDICT r1 weak #2). Dropout is disabled: its mask shape depends on B,
+    so padded/unpadded draws would differ for reasons unrelated to masking."""
+    vocab = 64
+    cfg = DecoderConfig(vocab_size=vocab, encoder_dim=512, use_tf=True,
+                        use_attention=True, dropout_rate=0.0)
+    feats_np = np.random.default_rng(0).normal(size=(10, 4, 512)).astype(np.float32)
+    caps_np = np.random.default_rng(1).integers(4, vocab, size=(10, 9)).astype(np.int32)
+    caps_np[:, 0] = 0
+
+    results = {}
+    for padded in (False, True):
+        n_data = 8 if padded else 1
+        mesh = make_mesh(n_data, 1)
+        dec_p = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        dec_p = jax.device_put(dec_p, replicated(mesh))
+        state = init_train_state(dec_p)
+        step = make_train_step(cfg, "vgg19", alpha_c=1.0, from_features=True)
+        if padded:
+            pad = 6  # 10 -> 16 divides 8
+            feats = np.concatenate([feats_np, np.repeat(feats_np[-1:], pad, 0)])
+            caps = np.concatenate([caps_np, np.repeat(caps_np[-1:], pad, 0)])
+            mask = np.arange(16) < 10
+        else:
+            feats, caps, mask = feats_np, caps_np, None
+        sh = batch_sharding(mesh)
+        args = [jax.device_put(a, sh) for a in (feats, caps)]
+        d_mask = jax.device_put(mask, sh) if mask is not None else None
+        state, metrics = step(state, None, args[0], args[1],
+                              jnp.float32(1e-3), jax.random.PRNGKey(2), d_mask)
+        results[padded] = ({k: float(v) for k, v in metrics.items()},
+                           np.asarray(state.params["deep_output"]["b"]))
+
+    for k in results[False][0]:
+        assert results[False][0][k] == pytest.approx(results[True][0][k],
+                                                     rel=1e-5), k
+    np.testing.assert_allclose(results[False][1], results[True][1], atol=1e-6)
+
+
+def test_padded_eval_metrics_match_unpadded():
+    from sat_tpu.parallel import make_eval_step
+    vocab = 64
+    cfg = DecoderConfig(vocab_size=vocab, encoder_dim=512, use_tf=True,
+                        use_attention=True)
+    feats_np = np.random.default_rng(0).normal(size=(10, 4, 512)).astype(np.float32)
+    caps_np = np.random.default_rng(1).integers(4, vocab, size=(10, 9)).astype(np.int32)
+    caps_np[:, 0] = 0
+    dec_p = init_decoder_params(jax.random.PRNGKey(0), cfg)
+
+    mesh1 = make_mesh(1, 1)
+    ev = make_eval_step(cfg, "vgg19", alpha_c=1.0, from_features=True)
+    p1 = jax.device_put(dec_p, replicated(mesh1))
+    m_ref, toks_ref, _ = ev(p1, None,
+                            jax.device_put(feats_np, batch_sharding(mesh1)),
+                            jax.device_put(caps_np, batch_sharding(mesh1)))
+
+    mesh8 = make_mesh(8, 1)
+    p8 = jax.device_put(dec_p, replicated(mesh8))
+    pad = 6
+    feats = np.concatenate([feats_np, np.repeat(feats_np[-1:], pad, 0)])
+    caps = np.concatenate([caps_np, np.repeat(caps_np[-1:], pad, 0)])
+    mask = np.arange(16) < 10
+    sh = batch_sharding(mesh8)
+    m_pad, toks_pad, _ = ev(p8, None, jax.device_put(feats, sh),
+                            jax.device_put(caps, sh),
+                            jax.device_put(mask, sh))
+    for k in m_ref:
+        assert float(m_ref[k]) == pytest.approx(float(m_pad[k]), rel=1e-5), k
+    np.testing.assert_array_equal(np.asarray(toks_ref),
+                                  np.asarray(toks_pad)[:10])
+
+
+def test_rep_penalty_wiring():
+    """rep_penalty_beta=0 (default) leaves the loss bit-unchanged;
+    beta>0 adds exactly utils.metrics.repetition_penalty (which is itself
+    golden-tested vs the reference's train.py:357-384)."""
+    from sat_tpu.parallel.train_step import _loss_and_metrics
+    from sat_tpu.models.decoder import decoder_forward
+    from sat_tpu.utils.metrics import repetition_penalty
+    vocab = 32
+    cfg = DecoderConfig(vocab_size=vocab, encoder_dim=512, use_tf=True,
+                        use_attention=True, dropout_rate=0.0)
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 4, 512)).astype(np.float32))
+    caps = jnp.asarray(np.random.default_rng(1).integers(
+        4, vocab, size=(4, 9)).astype(np.int32))
+    dec_p = init_decoder_params(jax.random.PRNGKey(0), cfg)
+
+    loss0, _ = _loss_and_metrics(cfg, 1.0, dec_p, feats, caps, None, False)
+    loss_default, _ = _loss_and_metrics(cfg, 1.0, dec_p, feats, caps, None,
+                                        False, None, 0.0)
+    assert float(loss0) == float(loss_default)
+
+    beta = 0.7
+    loss_rp, _ = _loss_and_metrics(cfg, 1.0, dec_p, feats, caps, None,
+                                   False, None, beta)
+    preds, _ = decoder_forward(dec_p, cfg, feats, caps)
+    expected = float(loss0) + float(
+        repetition_penalty(preds, (3, 0), beta))  # (pad, start)
+    assert float(loss_rp) == pytest.approx(expected, rel=1e-6)
+
+
+def test_loader_striping_reassembles_global_batches():
+    """Host stripes interleave so the union of all hosts' batch b equals the
+    single-host global batch b's rows (ADVICE r1: striping semantics)."""
+    from sat_tpu.data.dataset import BatchLoader
+
+    class _FakeDS:
+        def __init__(self, n):
+            self.n = n
+            self.captions = np.arange(n, dtype=np.int32)[:, None]
+            self.all_captions = np.arange(n, dtype=np.int32)[:, None, None]
+
+        def __len__(self):
+            return self.n
+
+    ds = _FakeDS(32)
+    H, bs = 4, 2
+    per_host = [BatchLoader(ds, bs, shuffle=True, seed=7, shard_index=h,
+                            shard_count=H, prefetch=0, load_images=False)
+                for h in range(H)]
+    single = BatchLoader(ds, bs * H, shuffle=True, seed=7, prefetch=0,
+                         load_images=False)
+    global_batches = [set(c[:, 0].tolist()) for _, c, _ in single.epoch(3)]
+    for b in range(len(global_batches)):
+        union = set()
+        for loader in per_host:
+            batches = list(loader.epoch(3))
+            union |= set(batches[b][1][:, 0].tolist())
+        assert union == global_batches[b]
+
+
+def test_sharded_bank_matches_replicated():
+    """Feature-bank step with the bank sharded over the 8-way data axis ==
+    the same step with a replicated bank (identical numerics; the sharded
+    gather just rides collectives)."""
+    from sat_tpu.parallel import make_bank_train_step
+    vocab = 64
+    cfg = DecoderConfig(vocab_size=vocab, encoder_dim=512, use_tf=True,
+                        use_attention=True, dropout_rate=0.0)
+    U, L, D, B = 16, 4, 512, 8
+    feats_bank = np.random.default_rng(0).normal(size=(U, L, D)).astype(np.float32)
+    caps_bank = np.random.default_rng(1).integers(4, vocab, size=(U, 9)).astype(np.int32)
+    caps_bank[:, 0] = 0
+    img_idx = np.random.default_rng(2).integers(0, U, size=(B,)).astype(np.int32)
+
+    results = {}
+    mesh = make_mesh(8, 1)
+    for sharded in (False, True):
+        dec_p = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        dec_p = jax.device_put(dec_p, replicated(mesh))
+        state = init_train_state(dec_p)
+        bank_sh = batch_sharding(mesh) if sharded else replicated(mesh)
+        step = make_bank_train_step(cfg, alpha_c=1.0)
+        state, metrics = step(
+            state,
+            jax.device_put(feats_bank, bank_sh),
+            jax.device_put(caps_bank, bank_sh),
+            jax.device_put(img_idx, batch_sharding(mesh)),
+            jax.device_put(img_idx, batch_sharding(mesh)),
+            jnp.float32(1e-3), jax.random.PRNGKey(3))
+        results[sharded] = (float(metrics["loss"]),
+                            np.asarray(state.params["deep_output"]["b"]))
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1], atol=1e-6)
+
+
 def test_graft_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
