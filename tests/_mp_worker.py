@@ -1,0 +1,59 @@
+"""Worker for the 2-process distributed test (tests/test_multiprocess.py).
+
+Runs one real training batch through the Trainer — image path and
+feature-bank path — under jax.distributed with 2 virtual CPU devices per
+process, and prints the step metrics for the parent to compare against a
+single-process run over the same logical global batch.
+
+Usage: python _mp_worker.py <data_root> <mode> [<port> <process_id>]
+  mode = "multi" (2 processes x 2 devices, local batch 4)
+       | "single" (1 process x 2 devices, batch 8)
+"""
+
+import functools
+import os
+import sys
+
+
+def main():
+    data_root, mode = sys.argv[1], sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if mode == "multi":
+        port, pid = sys.argv[3], int(sys.argv[4])
+        jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                                   process_id=pid)
+
+    # Dropout draws depend on the row ORDER of the global batch, which
+    # striping permutes; disable it so single- vs multi-process runs are
+    # comparable (the optimization math is what's under test).
+    import sat_tpu.engine.loop as loop_mod
+    from sat_tpu.models.decoder import DecoderConfig
+    loop_mod.DecoderConfig = functools.partial(DecoderConfig,
+                                               dropout_rate=0.0)
+
+    from sat_tpu.config import Config
+    from sat_tpu.engine.loop import Trainer
+
+    local_bs = 4 if mode == "multi" else 8
+
+    for tag, cache in (("IMGPATH", False), ("BANK", True)):
+        cfg = Config(data=data_root, network="vgg19", image_size=32,
+                     batch_size=local_bs, epochs=1, tf=True, attention=True,
+                     log_interval=100, perform_test=False,
+                     checkpoint_dir=data_root + f"/ckpt_{tag}_{mode}",
+                     cache_features=cache)
+        tr = Trainer(cfg)
+        imgs, caps, _, idxs = next(iter(tr.train_loader.epoch(1)))
+        rng = jax.random.fold_in(tr.dropout_rng, 0)
+        tr.state, metrics = tr._run_train_step("train", imgs, caps, idxs,
+                                               1e-4, rng)
+        print(f"{tag}_METRICS {float(metrics['loss']):.6f} "
+              f"{float(metrics['acc1']):.5f} {float(metrics['acc5']):.5f} "
+              f"{int(metrics['caption_length'])}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Real 2-process distributed training test (VERDICT r1 weak #1).
+
+Spawns two OS processes, each with 2 virtual CPU devices, joined through
+jax.distributed (Gloo collectives), and runs one genuine Trainer train step
+over the 4-device global mesh — exercising the process_count>1 branches
+that single-process tests cannot reach:
+
+  - BatchLoader striping (each host reads order[h::2]),
+  - Trainer._put / _put_indices global-batch assembly via
+    make_array_from_process_local_data,
+  - the feature bank placed cross-process via make_array_from_callback,
+  - XLA gradient all-reduce across processes.
+
+The metrics (loss / top-1 / top-5 / caption length) must match a
+single-process run over the same logical global batch for BOTH the image
+path and the feature-bank path.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests._synth import build_synth_dataset
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    # The worker sets its own XLA_FLAGS/JAX_PLATFORMS.
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _parse(output: str) -> dict:
+    out = {}
+    for line in output.splitlines():
+        if line.startswith(("IMGPATH_METRICS", "BANK_METRICS")):
+            tag, *vals = line.split()
+            out[tag] = [float(v) for v in vals]
+    return out
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=8, n_val=2, n_test=2, caps_per_img=2,
+                        image_size=32)
+    from sat_tpu.data import generate_json_data
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+
+    port = str(29600 + (os.getpid() % 200))
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, root, "multi", port, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_env()) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    single = subprocess.run(
+        [sys.executable, _WORKER, root, "single"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_env(), timeout=900)
+    assert single.returncode == 0, single.stdout[-3000:]
+
+    ref = _parse(single.stdout)
+    assert set(ref) == {"IMGPATH_METRICS", "BANK_METRICS"}
+    for out in outs:
+        got = _parse(out)
+        assert set(got) == set(ref), out[-3000:]
+        for tag in ref:
+            # loss/acc means are row-order invariant up to float summation
+            np.testing.assert_allclose(got[tag][:3], ref[tag][:3], rtol=2e-4,
+                                       err_msg=tag)
+            assert got[tag][3] == ref[tag][3], tag  # caption_length exact
