@@ -68,6 +68,61 @@ def measure_tpu() -> float:
     return BATCH / dt
 
 
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one TPU v5e chip (MXU); the f32
+                         # train step's MFU is reported against this —
+                         # conservative (f32 peak is lower), and the step is
+                         # HBM-bandwidth-bound regardless.
+
+
+def measure_train():
+    """Training throughput on the production path (decoder-only step from
+    cached features, B=64): rows/s, compiled FLOPs/step, and MFU vs the
+    chip's bf16 peak. FLOPs come from XLA's own cost analysis of the
+    compiled program, so the number normalizes across tunnel speed phases.
+    """
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
+    from sat_tpu.parallel import init_train_state, make_train_step
+
+    B, T = 64, 27
+    cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
+                        use_ado=True, use_attention=True)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params)
+    step = make_train_step(cfg, "vgg19", alpha_c=1.0, from_features=True)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, GRID, ENC_DIM)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(4, VOCAB, size=(B, T)).astype(np.int32))
+    lr = jnp.float32(1e-4)
+    drop = jax.random.PRNGKey(1)
+
+    flops = None
+    try:
+        ca = step.lower(state, None, feats, caps, lr, drop).compile() \
+                 .cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, _ = step(state, None, feats, caps, lr, drop)      # compile+warm
+    jax.block_until_ready(state.params["deep_output"]["b"])
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, _ = step(state, None, feats, caps, lr, drop)
+        jax.block_until_ready(state.params["deep_output"]["b"])
+        times.append((time.perf_counter() - t0) / 5)
+    dt = sorted(times)[len(times) // 2]
+    rows_per_sec = B / dt
+    mfu_pct = (flops / dt) / V5E_PEAK_FLOPS * 100 if flops else None
+    return rows_per_sec, flops, mfu_pct
+
+
 def measure_reference() -> float:
     """Time the reference's beam decode (decoder.py:160-269) on CPU torch."""
     try:
@@ -101,16 +156,18 @@ def main():
     enable_persistent_cache()
 
     # The tunneled TPU occasionally wedges for tens of minutes (even trivial
-    # dispatches hang). A hung bench records nothing; emit an honest
-    # zero-value line instead.
+    # dispatches hang). A hung bench records nothing; emit whatever was
+    # measured so far (or an honest zero line) instead.
     import signal
 
+    line = {
+        "metric": "captions_per_sec_beam5_vgg19_e2e",
+        "value": 0, "unit": "captions/sec/chip", "vs_baseline": 0,
+    }
+
     def _timeout(signum, frame):
-        print(json.dumps({
-            "metric": "captions_per_sec_beam5_vgg19_e2e",
-            "value": 0, "unit": "captions/sec/chip", "vs_baseline": 0,
-            "error": "tpu backend unresponsive within 600s",
-        }))
+        line.setdefault("error", "tpu backend unresponsive within timeout")
+        print(json.dumps(line))
         sys.stdout.flush()
         import os
         os._exit(2)
@@ -118,14 +175,21 @@ def main():
     signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(600)
     tpu_cps = measure_tpu()
+    line["value"] = round(tpu_cps, 2)
+    signal.alarm(300)
+    try:
+        train_rows, train_flops, mfu = measure_train()
+        if train_rows is not None:
+            line["train_rows_per_sec"] = round(train_rows, 1)
+        if train_flops is not None:
+            line["train_step_flops"] = train_flops
+            line["train_mfu_pct"] = round(mfu, 2)
+    except Exception as e:
+        print(f"train bench failed ({e})", file=sys.stderr)
     signal.alarm(0)
     ref_cps = measure_reference()
-    print(json.dumps({
-        "metric": "captions_per_sec_beam5_vgg19_e2e",
-        "value": round(tpu_cps, 2),
-        "unit": "captions/sec/chip",
-        "vs_baseline": round(tpu_cps / ref_cps, 2),
-    }))
+    line["vs_baseline"] = round(tpu_cps / ref_cps, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
