@@ -3,8 +3,10 @@
 
 Measures the flagship serving path — image batch -> VGG19 annotation grid ->
 batched fixed-shape beam search — as one jitted TPU program, in worst-case
-conditions (random weights mean no beam completes early, so all 51 decode
-steps run; real checkpoints finish sooner and run faster).
+conditions: stop-token logits are pinned to -1e9 on BOTH sides so every
+beam runs the full 51-step cap (random weights alone do NOT guarantee this
+— measured: they often emit a stop within a few steps). Real checkpoints
+finish sooner and run faster.
 
 Baseline: the reference implementation's own decode loop
 (/root/reference/decoder.py caption(), imported read-only and timed on this
@@ -41,12 +43,18 @@ def measure_tpu() -> float:
     from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
     from sat_tpu.models.encoder import encoder_forward, init_encoder_params
 
+    import jax.numpy as jnp
+
     cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM,
                         use_ado=True, use_attention=True)
     rng = jax.random.PRNGKey(0)
     enc_rng, dec_rng = jax.random.split(rng)
     enc_params = init_encoder_params(enc_rng, "vgg19")
     dec_params = init_decoder_params(dec_rng, cfg)
+    # Worst case: suppress the stop ids so all 51 decode steps always run.
+    b = np.asarray(dec_params["ado"]["f_out"]["b"]).copy()
+    b[[1, 102]] = -1e9
+    dec_params["ado"]["f_out"]["b"] = jnp.asarray(b)
 
     @jax.jit
     def caption(enc_p, dec_p, imgs):
@@ -55,7 +63,8 @@ def measure_tpu() -> float:
 
     imgs = np.random.default_rng(0).normal(
         size=(BATCH, 224, 224, 3)).astype(np.float32)
-    jax.block_until_ready(caption(enc_params, dec_params, imgs))  # compile
+    res = jax.block_until_ready(caption(enc_params, dec_params, imgs))  # compile
+    assert not bool(np.asarray(res.found).any()), "beam must run the 51-step cap"
     jax.block_until_ready(caption(enc_params, dec_params, imgs))  # warm
     # The tunneled chip's effective speed fluctuates over time; report the
     # median of several independently-timed iterations.
@@ -137,8 +146,14 @@ def measure_reference() -> float:
         ref = ref_decoder_mod.Decoder(VOCAB, ENC_DIM, tf=False, ado=True,
                                       bert=False, attention=True)
         ref.eval()
+        with torch.no_grad():     # worst case for the reference too
+            ref.f_out.bias[1] = -1e9
+            ref.f_out.bias[102] = -1e9
         feats = torch.randn(BEAM, GRID, ENC_DIM)
-        with torch.no_grad():
+        # The reference prints "No completed sentences found" from inside
+        # caption() in the worst case; keep stdout to the one JSON line.
+        import contextlib
+        with torch.no_grad(), contextlib.redirect_stdout(sys.stderr):
             ref.caption(feats, BEAM)  # warm
             n, t0 = 3, time.perf_counter()
             for _ in range(n):
