@@ -103,6 +103,10 @@ class Config:
     rep_penalty_beta: float = 0.0  # weight of the reference's dormant
                                    # repetition penalty (train.py:156-159,
                                    # 357-384); 0.0 = reference parity (off)
+    bf16_attention: bool = False   # bf16 attention tanh intermediate:
+                                   # halves the dominant saved-activation
+                                   # HBM traffic of the training backward
+                                   # pass; off = exact f32 parity
 
     @property
     def encoder_dim(self) -> int:
@@ -232,6 +236,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="weight of the repetition penalty loss term "
                              "(the reference's dormant train.py:357-384; "
                              "default 0.0 = off, reference parity)")
+    parser.add_argument("--bf16-attention", action="store_true", default=False,
+                        help="compute the attention tanh intermediate in "
+                             "bfloat16 (halves backward-pass activation "
+                             "traffic; default off = exact f32 numerics)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

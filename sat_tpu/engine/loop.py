@@ -115,7 +115,8 @@ class Trainer:
             vocab_size=vocabulary_size, encoder_dim=cfg.encoder_dim,
             use_tf=cfg.tf, use_ado=cfg.ado, use_bert=cfg.bert,
             use_attention=cfg.attention,
-            fused_attention=cfg.fused_attention)
+            fused_attention=cfg.fused_attention,
+            bf16_attention=cfg.bf16_attention)
 
         # ---- params ----
         root_rng = jax.random.PRNGKey(cfg.seed)

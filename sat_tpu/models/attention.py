@@ -43,13 +43,28 @@ def precompute_attention_keys(params: dict, features: jnp.ndarray) -> jnp.ndarra
 
 
 def soft_attention(params: dict, features: jnp.ndarray, hidden: jnp.ndarray,
-                   keys: jnp.ndarray | None = None):
-    """(context (B, D), alpha (B, L)) for features (B, L, D), hidden (B, E)."""
+                   keys: jnp.ndarray | None = None,
+                   middle_dtype=None):
+    """(context (B, D), alpha (B, L)) for features (B, L, D), hidden (B, E).
+
+    `middle_dtype` (e.g. jnp.bfloat16) casts the (B, L, E) tanh
+    intermediate — the training step's dominant saved activation — to a
+    narrower type: autodiff then stores the bf16 tensor instead of f32,
+    halving the HBM traffic of the backward pass. Scores, softmax, and the
+    context reduction stay f32. None (default) = exact f32 reference
+    numerics.
+    """
     if keys is None:
         keys = precompute_attention_keys(params, features)
     u_h = hidden @ params["U"]["w"] + params["U"]["b"]        # (B, E)
-    att = jnp.tanh(keys + u_h[:, None, :])                    # (B, L, E)
-    e = (att @ params["v"]["w"])[..., 0] + params["v"]["b"][0]  # (B, L)
+    if middle_dtype is not None:
+        att = jnp.tanh(keys.astype(middle_dtype)
+                       + u_h.astype(middle_dtype)[:, None, :])  # (B, L, E)
+        e = (att @ params["v"]["w"].astype(middle_dtype)
+             ).astype(jnp.float32)[..., 0] + params["v"]["b"][0]
+    else:
+        att = jnp.tanh(keys + u_h[:, None, :])                # (B, L, E)
+        e = (att @ params["v"]["w"])[..., 0] + params["v"]["b"][0]  # (B, L)
     alpha = jax.nn.softmax(e, axis=1)
     context = (features * alpha[..., None]).sum(axis=1)       # (B, D)
     return context, alpha

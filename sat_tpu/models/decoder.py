@@ -55,6 +55,11 @@ class DecoderConfig:
     # HBM for the backward pass. Matches XLA numerics; usable in training
     # and inference.
     fused_attention: bool = False
+    # Compute the (B, L, E) attention tanh intermediate in bfloat16: halves
+    # the training step's dominant saved-activation HBM traffic (the grad is
+    # bandwidth-bound on it from B=64 to B=256). Scores/softmax/context stay
+    # f32. Off by default (exact f32 reference numerics).
+    bf16_attention: bool = False
 
     @property
     def embedding_size(self) -> int:
@@ -67,6 +72,10 @@ class DecoderConfig:
     @property
     def effective_vocab_size(self) -> int:
         return constants.BERT_VOCAB_SIZE if self.use_bert else self.vocab_size
+
+    @property
+    def attention_middle_dtype(self):
+        return jnp.bfloat16 if self.bf16_attention else None
 
 
 def init_decoder_params(rng: jax.Array, cfg: DecoderConfig,
@@ -143,7 +152,9 @@ def decode_step(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             context, alpha = fused_soft_attention(params["attention"],
                                                   features, h, keys)
         else:
-            context, alpha = soft_attention(params["attention"], features, h, keys)
+            context, alpha = soft_attention(
+                params["attention"], features, h, keys,
+                middle_dtype=cfg.attention_middle_dtype)
         gate = jax.nn.sigmoid(h @ params["f_beta"]["w"] + params["f_beta"]["b"])
         gated_context = gate * context
     else:
@@ -201,8 +212,9 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                     context, alpha = fused_soft_attention(
                         params["attention"], features, h, keys)
                 else:
-                    context, alpha = soft_attention(params["attention"],
-                                                    features, h, keys)
+                    context, alpha = soft_attention(
+                        params["attention"], features, h, keys,
+                        middle_dtype=cfg.attention_middle_dtype)
                 gate = jax.nn.sigmoid(h @ params["f_beta"]["w"]
                                       + params["f_beta"]["b"])
                 gated_context = gate * context

@@ -118,6 +118,53 @@ def test_bert_config_shapes_and_frozen_embedding():
     assert float(jnp.abs(grads["lstm"]["w_ih"]).max()) > 0.0
 
 
+def test_bf16_attention_middle_close_to_f32():
+    """bf16 attention tanh intermediate (DecoderConfig.bf16_attention): the
+    forward stays within bf16 rounding of the f32 reference path, the
+    attention maps remain a valid distribution, and gradients stay close in
+    relative terms. Default-off must be bit-identical to f32."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    _, cfg, params = make_pair(tf=True, ado=True, attention=True)
+    cfg_bf16 = dataclasses.replace(cfg, bf16_attention=True)
+    feats, caps = random_inputs()
+
+    p32, a32 = decoder_forward(params, cfg, feats, caps, train=False)
+    pbf, abf = decoder_forward(params, cfg_bf16, feats, caps, train=False)
+    np.testing.assert_allclose(np.asarray(pbf), np.asarray(p32),
+                               atol=8e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(abf), np.asarray(a32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(abf).sum(-1), 1.0, atol=1e-5)
+
+    # default-off path is the exact f32 graph
+    cfg_off = dataclasses.replace(cfg, bf16_attention=False)
+    poff, _ = decoder_forward(params, cfg_off, feats, caps, train=False)
+    assert np.array_equal(np.asarray(poff), np.asarray(p32))
+
+    def loss(p, c):
+        preds, alphas = decoder_forward(p, c, feats, caps, train=False)
+        return ((preds ** 2).mean()
+                + ((1.0 - alphas.sum(axis=1)) ** 2).mean())
+
+    # Per-element grad comparisons are brittle under bf16 (relu gates flip
+    # discretely at rounding boundaries); require normwise closeness.
+    g32 = jax.grad(lambda p: loss(p, cfg))(params)
+    gbf = jax.grad(lambda p: loss(p, cfg_bf16))(params)
+    for (kp, l32), (_, lbf) in zip(
+            jax.tree_util.tree_flatten_with_path(g32)[0],
+            jax.tree_util.tree_flatten_with_path(gbf)[0]):
+        name = "/".join(str(getattr(p, "key", p)) for p in kp)
+        if name == "attention/v/b":
+            # True gradient is exactly zero (a constant shift of every
+            # pre-softmax score): both values are float noise.
+            continue
+        a, b = np.asarray(l32, np.float64), np.asarray(lbf, np.float64)
+        denom = np.linalg.norm(a) + 1e-12
+        rel = np.linalg.norm(b - a) / denom
+        assert rel < 0.05, f"{name}: normwise grad error {rel:.4f}"
+
+
 def test_strict_import_rejects_mismatched_checkpoint():
     import jax
     ref, cfg, params = make_pair(tf=True, ado=True)
