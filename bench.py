@@ -65,18 +65,21 @@ def measure_tpu() -> float:
         size=(BATCH, 224, 224, 3)).astype(np.float32)
     res = caption(enc_params, dec_params, imgs)                   # compile
     assert not bool(np.asarray(res.found).any()), "beam must run the 51-step cap"
-    float(caption(enc_params, dec_params, imgs).score.sum())      # warm
-    # The tunneled chip's effective speed fluctuates over time; report the
-    # median of several independently-timed iterations. Timing must end
-    # with a host readback: the axon plugin's block_until_ready can return
-    # before execution completes (measured: it reported a physically
-    # impossible 21 PFLOP/s on one chip).
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        float(caption(enc_params, dec_params, imgs).score.sum())
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+
+    # Slope-based device timing (sat_tpu.utils.timing): the tunnel's
+    # round-trip latency swings 0.3ms..30ms between phases and
+    # block_until_ready can return early, so a single dispatch+readback
+    # measures the phase, not the program. Repeating the program inside one
+    # jit and differencing two repetition counts cancels the round trip.
+    from sat_tpu.utils.timing import device_time
+    imgs_j = jnp.asarray(imgs)
+
+    def body(x, i):
+        r = beam_search_batched(
+            dec_params, cfg, encoder_forward(enc_params, "vgg19", x), BEAM)
+        return x + 1e-20 * r.score.sum()    # chain, defeat CSE
+
+    dt = device_time(body, imgs_j, n_lo=1, n_hi=4, reps=5)
     return BATCH / dt
 
 
@@ -88,14 +91,18 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one TPU v5e chip (MXU); the f32
 
 def measure_train():
     """Training throughput on the production path (decoder-only step from
-    cached features, B=64): rows/s, compiled FLOPs/step, and MFU vs the
-    chip's bf16 peak. FLOPs come from XLA's own cost analysis of the
-    compiled program, so the number normalizes across tunnel speed phases.
+    cached features, B=64): rows/s of device time, compiled FLOPs/step, and
+    MFU vs the chip's bf16 peak. FLOPs come from XLA's own cost analysis of
+    the compiled program; device time from slope-based timing (see
+    measure_tpu) — both normalize across tunnel speed phases.
     """
     import jax
     import jax.numpy as jnp
+    import optax
     from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
     from sat_tpu.parallel import init_train_state, make_train_step
+    from sat_tpu.parallel.train_step import _loss_and_metrics, make_optimizer
+    from sat_tpu.utils.timing import device_time
 
     B, T = 64, 27
     cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
@@ -120,19 +127,20 @@ def measure_train():
     except Exception:
         pass
 
-    state, m = step(state, None, feats, caps, lr, drop)      # compile+warm
-    float(m["loss"])
-    # Chunks of 5 pipelined dispatches ended by a host readback of the last
-    # step's loss — the only sync the axon plugin honors (block_until_ready
-    # can return early; see measure_tpu).
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        for _ in range(5):
-            state, m = step(state, None, feats, caps, lr, drop)
-        float(m["loss"])
-        times.append((time.perf_counter() - t0) / 5)
-    dt = sorted(times)[len(times) // 2]
+    tx = make_optimizer()
+
+    def body(carry, i):
+        params, opt_state = carry
+        step_rng = jax.random.fold_in(drop, i)
+        _, grads = jax.value_and_grad(
+            lambda p: _loss_and_metrics(cfg, 1.0, p, feats, caps, step_rng,
+                                        True),
+            has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -1e-4 * u, updates)
+        return (optax.apply_updates(params, updates), opt_state)
+
+    dt = device_time(body, (params, tx.init(params)), n_lo=2, n_hi=10)
     rows_per_sec = B / dt
     mfu_pct = (flops / dt) / V5E_PEAK_FLOPS * 100 if flops else None
     return rows_per_sec, flops, mfu_pct
