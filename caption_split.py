@@ -37,6 +37,10 @@ def main():
                         help="nucleus mass, 1.0 = off (--decode sample)")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="PRNG seed for --decode sample")
+    parser.add_argument("--fast-topk", action="store_true", default=False,
+                        help="use the TPU-optimized approximate top-k in "
+                             "beam search (~1.2x decode; near-ties may "
+                             "pick a different beam than the reference)")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--fraction", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None,
@@ -76,7 +80,8 @@ def main():
     def caption_batch(e, d, imgs, r):
         feats = encoder_forward(e, cfg.network, imgs)
         if args.decode == "beam":
-            return beam_search_batched(d, dcfg, feats, args.beam_size)
+            return beam_search_batched(d, dcfg, feats, args.beam_size,
+                                       fast_topk=args.fast_topk)
         if args.decode == "greedy":
             return greedy_caption(d, dcfg, feats)
         return sample_caption(d, dcfg, feats, r,

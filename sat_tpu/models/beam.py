@@ -182,7 +182,7 @@ def beam_search_vmapped(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
 def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS,
-                        dedup: bool = True) -> BeamResult:
+                        dedup: bool = True, fast_topk: bool = False) -> BeamResult:
     """Natively batched beam search: features (B, L, D) -> BeamResult with
     leading batch dim B.
 
@@ -198,7 +198,15 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     attention keys per IMAGE and broadcasts against beams in-register
     (_decode_step_shared); `dedup=False` keeps the flat (B*K, L, D) layout
     whose grid reads cost K-fold HBM traffic per step (the round-1
-    formulation, kept for A/B benchmarking).
+    formulation, kept for A/B benchmarking). Measured on v5e (B=64, K=5,
+    51-step worst case, device time): dedup 6.3ms vs flat 36ms — 5.6-6.0x.
+
+    `fast_topk=True` swaps the exact flat top-k for the TPU-optimized
+    jax.lax.approx_max_k (recall 0.95, aggregated to exact top-k order of
+    the candidates it returns): measured 1.23x on the 51-step decode loop.
+    OFF by default — it can pick a different beam than the reference when
+    near-ties fall outside the recall bound, so token-exact parity holds
+    only for the default.
     """
     B, L, D = features.shape
     K = beam_size
@@ -261,7 +269,12 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
         cand = s["scores"][..., None] + logits
         cand = jnp.where(s["live"][..., None], cand, -jnp.inf)
-        values, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # (B, K)
+        if fast_topk:
+            values, flat_idx = jax.lax.approx_max_k(
+                cand.reshape(B, K * V), K, recall_target=0.95,
+                aggregate_to_topk=True)
+        else:
+            values, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # (B, K)
         parent = flat_idx // V
         word = (flat_idx % V).astype(jnp.int32)
         valid = jnp.arange(K)[None, :] < s["live_count"][:, None]

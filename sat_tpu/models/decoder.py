@@ -190,6 +190,13 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     T = captions.shape[1] - 1
     h, c = init_lstm_state(params, features)
     keys = precompute_attention_keys(params["attention"], features)
+    if cfg.bf16_attention and cfg.use_attention:
+        # keys and features are RE-READ from HBM on every one of the T scan
+        # steps, forward and backward — the train step's dominant
+        # irreducible traffic. Storing them bf16 halves it; the f32
+        # originals are only needed once (init state above).
+        keys = keys.astype(jnp.bfloat16)
+        features = features.astype(jnp.bfloat16)
 
     step_rngs = (jax.random.split(rng, T) if (train and rng is not None)
                  else jnp.zeros((T, 2), jnp.uint32))

@@ -51,13 +51,17 @@ def device_time(body, carry0, n_lo: int = 2, n_hi: int = 12,
     float(lo(carry0))   # compile
     float(hi(carry0))
 
-    def run_med(fn):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(carry0))     # host readback = the only honest sync
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
+    def once(fn):
+        t0 = time.perf_counter()
+        float(fn(carry0))         # host readback = the only honest sync
+        return time.perf_counter() - t0
 
-    t_lo, t_hi = run_med(lo), run_med(hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 0.0)
+    # The tunnel phase also DRIFTS between calls; pair each lo with an
+    # immediately-following hi and take the median of per-pair slopes so a
+    # phase change corrupts at most the pairs it straddles.
+    slopes = []
+    for _ in range(reps):
+        t_lo = once(lo)
+        t_hi = once(hi)
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    return max(sorted(slopes)[len(slopes) // 2], 0.0)

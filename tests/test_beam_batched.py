@@ -64,6 +64,37 @@ def test_batched_equals_vmapped():
     np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
 
 
+def test_flat_layout_equals_dedup():
+    """dedup=False (round-1 flat (B*K, L, D) layout, kept for A/B) must
+    produce exactly the same results as the default shared-grid layout."""
+    cfg, params = _params(ado=True, attention=True, seed=7)
+    feats = np.random.default_rng(11).normal(size=(5, L, D)).astype(np.float32)
+    a = beam_search_batched(params, cfg, feats, 3, dedup=True)
+    b = beam_search_batched(params, cfg, feats, 3, dedup=False)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-4)
+
+
+def test_fast_topk_produces_valid_captions():
+    """fast_topk=True (approx_max_k) is an opt-in speed mode: no exactness
+    promise, but results must be structurally valid and, on these tiny
+    well-separated toy logits, match the exact beam."""
+    cfg, params = _params(ado=False, attention=True, seed=2)
+    feats = np.random.default_rng(13).normal(size=(4, L, D)).astype(np.float32)
+    exact = beam_search_batched(params, cfg, feats, 3)
+    fast = beam_search_batched(params, cfg, feats, 3, fast_topk=True)
+    for i in range(4):
+        row = jax.tree_util.tree_map(lambda x: x[i], fast)
+        toks, alphas = extract_caption(row)
+        assert 1 <= len(toks) <= 52
+        assert alphas.shape[1] == L
+    # tiny vocab, clearly separated scores: approx == exact here
+    np.testing.assert_array_equal(np.asarray(fast.tokens),
+                                  np.asarray(exact.tokens))
+
+
 def test_batched_with_never_completing_image():
     """One image's head is rigged so no stop token can win: its row must
     report found=False while other rows complete normally."""
