@@ -146,6 +146,36 @@ def measure_train():
     return rows_per_sec, flops, mfu_pct
 
 
+def measure_latency() -> float:
+    """Single-image e2e device latency in ms (image -> VGG19 -> worst-case
+    51-step beam=5) — the BASELINE.json p50-latency axis, slope-measured."""
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.models.beam import beam_search
+    from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
+    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
+    from sat_tpu.utils.timing import device_time
+
+    cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM,
+                        use_ado=True, use_attention=True)
+    rng = jax.random.PRNGKey(0)
+    enc_rng, dec_rng = jax.random.split(rng)
+    enc_params = init_encoder_params(enc_rng, "vgg19")
+    dec_params = init_decoder_params(dec_rng, cfg)
+    b = np.asarray(dec_params["ado"]["f_out"]["b"]).copy()
+    b[[1, 102]] = -1e9
+    dec_params["ado"]["f_out"]["b"] = jnp.asarray(b)
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 224, 224, 3)).astype(np.float32))
+
+    def body(x, i):
+        feats = encoder_forward(enc_params, "vgg19", x)[0]
+        r = beam_search(dec_params, cfg, feats, BEAM)
+        return x + 1e-20 * r.score
+
+    return device_time(body, img, n_lo=1, n_hi=11, reps=5) * 1e3
+
+
 def measure_reference() -> float:
     """Time the reference's beam decode (decoder.py:160-269) on CPU torch."""
     try:
@@ -202,10 +232,10 @@ def main():
         os._exit(2)
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(600)
+    signal.alarm(420)
     tpu_cps = measure_tpu()
     line["value"] = round(tpu_cps, 2)
-    signal.alarm(300)
+    signal.alarm(200)
     try:
         train_rows, train_flops, mfu = measure_train()
         if train_rows is not None:
@@ -215,6 +245,11 @@ def main():
             line["train_mfu_pct"] = round(mfu, 2)
     except Exception as e:
         print(f"train bench failed ({e})", file=sys.stderr)
+    signal.alarm(150)
+    try:
+        line["single_image_latency_ms"] = round(measure_latency(), 3)
+    except Exception as e:
+        print(f"latency bench failed ({e})", file=sys.stderr)
     signal.alarm(0)
     ref_cps = measure_reference()
     line["vs_baseline"] = round(tpu_cps / ref_cps, 2)

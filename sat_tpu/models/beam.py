@@ -55,8 +55,13 @@ def _decode_step_shared(params: dict, cfg: DecoderConfig,
     if cfg.use_attention:
         a = params["attention"]
         u_h = h @ a["U"]["w"] + a["U"]["b"]                     # (B*K, E)
-        att = jnp.tanh(keys[:, None] + u_h.reshape(B, K, 1, E))  # (B,K,L,E)
-        e = (att @ a["v"]["w"])[..., 0] + a["v"]["b"][0]        # (B, K, L)
+        # dtype follows `keys`: callers pass bf16 keys/features for the
+        # opt-in bf16 decode mode; scores/softmax stay f32 either way.
+        kd = keys.dtype
+        att = jnp.tanh(keys[:, None]
+                       + u_h.reshape(B, K, 1, E).astype(kd))     # (B,K,L,E)
+        e = ((att @ a["v"]["w"].astype(kd))[..., 0]
+             ).astype(jnp.float32) + a["v"]["b"][0]             # (B, K, L)
         alpha_bk = jax.nn.softmax(e, axis=-1)
         context = jnp.einsum("bkl,bld->bkd", alpha_bk,
                              features).reshape(B * K, D)
@@ -182,7 +187,8 @@ def beam_search_vmapped(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
 def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         beam_size: int, max_steps: int = constants.BEAM_MAX_STEPS,
-                        dedup: bool = True, fast_topk: bool = False) -> BeamResult:
+                        dedup: bool = True, fast_topk: bool = False,
+                        bf16: bool = False) -> BeamResult:
     """Natively batched beam search: features (B, L, D) -> BeamResult with
     leading batch dim B.
 
@@ -221,9 +227,13 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                 .reshape(B * K, -1)
         c0 = jnp.broadcast_to(c_img[:, None], (B, K) + c_img.shape[1:]) \
                 .reshape(B * K, -1)
+        # Opt-in bf16 decode: the grid + keys are re-read every step — bf16
+        # storage halves that traffic; LSTM/head/scores stay f32.
+        feats_step = features.astype(jnp.bfloat16) if bf16 else features
+        keys_step = keys_img.astype(jnp.bfloat16) if bf16 else keys_img
 
         def step_fn(h, c, emb):
-            return _decode_step_shared(params, cfg, features, keys_img,
+            return _decode_step_shared(params, cfg, feats_step, keys_step,
                                        h, c, emb, K)
     else:
         feats_flat = jnp.broadcast_to(features[:, None],

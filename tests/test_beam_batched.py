@@ -95,6 +95,22 @@ def test_fast_topk_produces_valid_captions():
                                   np.asarray(exact.tokens))
 
 
+def test_bf16_decode_produces_valid_captions():
+    """bf16=True stores grid+keys bf16 during the beam (opt-in speed mode):
+    structurally valid results; on these toy logits it matches exact f32."""
+    cfg, params = _params(ado=False, attention=True, seed=5)
+    feats = np.random.default_rng(17).normal(size=(4, L, D)).astype(np.float32)
+    exact = beam_search_batched(params, cfg, feats, 3)
+    fast = beam_search_batched(params, cfg, feats, 3, bf16=True)
+    for i in range(4):
+        toks, alphas = extract_caption(
+            jax.tree_util.tree_map(lambda x: x[i], fast))
+        assert 1 <= len(toks) <= 52
+        assert alphas.shape[1] == L
+    np.testing.assert_array_equal(np.asarray(fast.tokens),
+                                  np.asarray(exact.tokens))
+
+
 def test_batched_with_never_completing_image():
     """One image's head is rigged so no stop token can win: its row must
     report found=False while other rows complete normally."""
