@@ -7,7 +7,8 @@ test:
 test-fast:
 	python -m pytest tests/ -q --ignore=tests/test_engine.py \
 	  --ignore=tests/test_encoder.py --ignore=tests/test_bert_path.py \
-	  --ignore=tests/test_feature_cache.py
+	  --ignore=tests/test_feature_cache.py \
+	  --ignore=tests/test_multiprocess.py
 
 native:
 	sh tools/build_native.sh
