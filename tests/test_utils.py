@@ -94,6 +94,52 @@ def test_repetition_penalty_matches_reference():
     assert ours == pytest.approx(float(expected), rel=1e-5)
 
 
+def test_metric_logger_image_channel(tmp_path):
+    """log_image (the reference's W&B attention-viz channel, train.py:317,
+    431-433) records the path+caption in the JSONL backend."""
+    import json as _json
+    from sat_tpu.utils.logging import MetricLogger
+    jl = str(tmp_path / "m.jsonl")
+    png = str(tmp_path / "viz.png")
+    open(png, "wb").write(b"\x89PNG fake")
+    lg = MetricLogger(jsonl_path=jl)
+    lg.log_image("attention_viz/e1_b0_i0", png, caption="a dog runs")
+    lg.finish()
+    rows = [_json.loads(l) for l in open(jl)]
+    assert rows[0]["image"] == "attention_viz/e1_b0_i0"
+    assert rows[0]["path"] == png
+    assert rows[0]["caption"] == "a dog runs"
+
+
+def test_masked_metrics_row_mask():
+    """Row-masked variants: padded duplicate rows must not change the
+    statistics computed over the real rows."""
+    import jax.numpy as jnp
+    from sat_tpu.utils.metrics import (attention_regularization,
+                                       reference_packed_cross_entropy,
+                                       sequence_accuracy)
+    rng = np.random.default_rng(0)
+    preds = rng.normal(size=(4, 6, 11)).astype(np.float32)
+    targets = rng.integers(0, 11, size=(4, 6)).astype(np.int32)
+    alphas = rng.uniform(size=(4, 5, 7)).astype(np.float32)
+    # pad by repeating the last row twice
+    preds_p = np.concatenate([preds, preds[-1:], preds[-1:]])
+    targets_p = np.concatenate([targets, targets[-1:], targets[-1:]])
+    alphas_p = np.concatenate([alphas, alphas[-1:], alphas[-1:]])
+    mask = jnp.asarray([True] * 4 + [False] * 2)
+
+    assert float(reference_packed_cross_entropy(preds, targets)) == \
+        pytest.approx(float(reference_packed_cross_entropy(
+            preds_p, targets_p, mask)), rel=1e-6)
+    assert float(attention_regularization(alphas, 1.0)) == \
+        pytest.approx(float(attention_regularization(alphas_p, 1.0, mask)),
+                      rel=1e-6)
+    assert float(sequence_accuracy(preds, targets, 3, ignore_index=0)) == \
+        pytest.approx(float(sequence_accuracy(preds_p, targets_p, 3,
+                                              ignore_index=0,
+                                              row_mask=mask)), rel=1e-6)
+
+
 def test_count_parameters_total():
     from sat_tpu.utils import count_parameters
     params = {"a": np.zeros((3, 4)), "b": {"w": np.zeros(5), "frozen": np.zeros(100)}}
