@@ -16,14 +16,21 @@ import numpy as np
 
 
 def build_caption_fn(network: str, dcfg, enc_params, dec_params,
-                     beam_size: int):
-    """Closure: images (B, S, S, 3) -> BeamResult arrays, params baked in."""
+                     beam_size: int, fast_topk: bool = False,
+                     bf16: bool = False):
+    """Closure: images (B, S, S, 3) -> BeamResult arrays, params baked in.
+
+    `fast_topk`/`bf16` select the measured opt-in beam speed modes
+    (sat_tpu.models.beam.beam_search_batched) — for deployments that trade
+    token-exact reference parity for ~1.36x decode throughput."""
     from sat_tpu.models.beam import beam_search_batched
     from sat_tpu.models.encoder import encoder_forward
 
     def caption(images):
-        feats = encoder_forward(enc_params, network, images)
-        res = beam_search_batched(dec_params, dcfg, feats, beam_size)
+        feats = encoder_forward(enc_params, network, images,
+                                jnp.bfloat16 if bf16 else None)
+        res = beam_search_batched(dec_params, dcfg, feats.astype(jnp.float32),
+                                  beam_size, fast_topk=fast_topk, bf16=bf16)
         return {"tokens": res.tokens, "length": res.length,
                 "score": res.score, "found": res.found,
                 "alphas": res.alphas}
@@ -34,11 +41,14 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
 def export_caption_artifact(path: str, network: str, dcfg, enc_params,
                             dec_params, batch_size: int, image_size: int,
                             beam_size: int,
-                            platforms: tuple[str, ...] | None = None) -> None:
+                            platforms: tuple[str, ...] | None = None,
+                            fast_topk: bool = False,
+                            bf16: bool = False) -> None:
     """Serialize the caption program for `batch_size` images to `path`."""
     from jax import export as jexport
 
-    fn = build_caption_fn(network, dcfg, enc_params, dec_params, beam_size)
+    fn = build_caption_fn(network, dcfg, enc_params, dec_params, beam_size,
+                          fast_topk=fast_topk, bf16=bf16)
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3),
                                 jnp.float32)
     exported = jexport.export(jax.jit(fn),
