@@ -111,6 +111,17 @@ def test_bf16_decode_produces_valid_captions():
                                   np.asarray(exact.tokens))
 
 
+def test_chunked_equals_unchunked():
+    """chunk splits the batch into independent sub-beams — results must be
+    exactly identical (images never interact)."""
+    cfg, params = _params(ado=False, attention=True, seed=3)
+    feats = np.random.default_rng(19).normal(size=(5, L, D)).astype(np.float32)
+    a = beam_search_batched(params, cfg, feats, 3, chunk=None)
+    b = beam_search_batched(params, cfg, feats, 3, chunk=2)  # 2+2+1
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_batched_with_never_completing_image():
     """One image's head is rigged so no stop token can win: its row must
     report found=False while other rows complete normally."""

@@ -79,6 +79,27 @@ def main():
                  step_size=1000,  # hold lr flat (StepLR default decays at 5)
                  checkpoint_dir=f"{root}/model", perform_test=False, seed=0)
     trainer = Trainer(cfg)
+
+    # Standardize the cached features to unit scale. A RANDOM-init VGG19
+    # shrinks activations ~100x through its 16 conv layers (measured
+    # per-dim std ~0.01), so the color signal is drowned by the N(0,1)
+    # token embeddings and 0.5 dropout and the decoder plateaus without
+    # ever learning color (diagnosed round 2: features were 100% linearly
+    # separable yet train top-1 stuck at 79%). Pretrained encoders — the
+    # reference's real regime — emit unit-scale features; this stands in
+    # for that. The pipeline under test (attention, TF loss, optimizer,
+    # beam) is unchanged.
+    import jax
+    stats = np.concatenate([f.reshape(-1, f.shape[-1])
+                            for f in trainer.features.values()])
+    mu, sd = stats.mean(0), stats.std(0) + 1e-6
+    for split in trainer.features:
+        trainer.features[split] = ((trainer.features[split] - mu)
+                                   / sd).astype(np.float32)
+        if split in trainer.bank:
+            trainer.bank[split]["feats"] = jax.device_put(
+                trainer.features[split],
+                trainer.bank[split]["feats"].sharding)
     history = []
     for epoch in range(1, cfg.epochs + 1):
         trainer.train_epoch(epoch)
