@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from enum import Enum
 
 import numpy as np
@@ -60,6 +61,13 @@ def step_lr(base_lr: float, epoch: int, step_size: int, gamma: float = 0.1) -> f
     epoch (train.py:100), so epoch i (1-based) trains at
     base * gamma^((i-1)//step_size)."""
     return base_lr * (gamma ** ((epoch - 1) // step_size))
+
+
+class TrainingPreempted(Exception):
+    """Raised inside the epoch loop after a preemption signal: the train
+    state (including the mid-epoch batch offset) has been checkpointed and
+    the run should exit cleanly. Rerun with --resume to continue from the
+    exact interrupted batch."""
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
@@ -154,15 +162,52 @@ class Trainer:
         self.state = init_train_state(dec_params)
         self._host_step = 0   # mirrors state.step without device syncs
         self.start_epoch = 1
+        self._preempt_requested = False
+        self._resume_batch_offset = 0
         if cfg.resume:
             step = ckpt.latest_train_state_step(cfg.checkpoint_dir)
             if step is not None:
                 print(f"Resuming from checkpoint step {step}")
-                tmpl = {"state": self.state, "epoch": 0}
-                restored = ckpt.restore_train_state(cfg.checkpoint_dir, step, tmpl)
-                self.state = TrainState(*restored["state"])
+                tmpl = {"state": self.state, "epoch": 0, "batch_offset": 0}
+                try:
+                    restored = ckpt.restore_train_state(cfg.checkpoint_dir,
+                                                        step, tmpl)
+                except Exception:
+                    # checkpoint from before mid-epoch preemption support
+                    restored = ckpt.restore_train_state(
+                        cfg.checkpoint_dir, step,
+                        {"state": self.state, "epoch": 0})
+                    restored["batch_offset"] = 0
+                # Orbax restores leaves COMMITTED to a single device; the
+                # live state mixes mesh-sharded params (NamedSharding) with
+                # uncommitted scalars, and jit refuses committed
+                # single-device args next to mesh-sharded ones. Re-place
+                # every restored leaf: template leaves that carry a
+                # NamedSharding keep it, everything else (opt counts, step)
+                # is replicated over the mesh.
+                rep = replicated(self.mesh)
+
+                def _placement(t):
+                    s = getattr(t, "sharding", None)
+                    return s if isinstance(s, jax.sharding.NamedSharding) else rep
+
+                self.state = jax.tree_util.tree_map(
+                    lambda t, r: jax.device_put(r, _placement(t)),
+                    self.state, TrainState(*restored["state"]))
                 self._host_step = int(self.state.step)
-                self.start_epoch = int(restored["epoch"]) + 1
+                offset = int(restored.get("batch_offset", 0))
+                if offset > 0:
+                    # interrupted mid-epoch: redo that epoch from the exact
+                    # batch (the loader is deterministic per (seed, epoch)
+                    # and dropout rngs fold in the restored step counter, so
+                    # the continued run is bit-identical to an uninterrupted
+                    # one)
+                    self.start_epoch = int(restored["epoch"])
+                    self._resume_batch_offset = offset
+                    print(f"Resuming epoch {self.start_epoch} at batch "
+                          f"offset {offset}")
+                else:
+                    self.start_epoch = int(restored["epoch"]) + 1
 
         # ---- data ----
         shard_index = jax.process_index()
@@ -364,14 +409,29 @@ class Trainer:
         return self.eval_step(self.state.params, self.enc_params, d_inputs,
                               d_captions, d_mask)
 
+    def request_preempt(self) -> None:
+        """Ask the epoch loop to checkpoint and stop at the next step
+        boundary (called from the SIGTERM/SIGUSR1 handlers that `fit`
+        installs, or programmatically)."""
+        self._preempt_requested = True
+
     def train_epoch(self, epoch: int) -> None:
         print(f"Epoch {epoch} - Starting train")
         cfg = self.cfg
         lr = step_lr(cfg.lr, epoch, cfg.step_size)
         losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
         n_batches = self.train_loader.batches_per_epoch()
+        # Mid-epoch resume: replay the loader's deterministic (seed, epoch)
+        # order and skip the batches that were trained before preemption.
+        # The restored step counter keeps the dropout rng stream aligned, so
+        # the continued epoch is bit-identical to an uninterrupted one
+        # (meters restart at the offset; epoch-end metrics cover the tail).
+        skip = self._resume_batch_offset if epoch == self.start_epoch else 0
+        self._resume_batch_offset = 0
 
         for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
+            if batch_idx < skip:
+                continue
             # Host-side step counter: folding in state.step would force a
             # device sync before every dispatch.
             rng = jax.random.fold_in(self.dropout_rng, self._host_step)
@@ -379,6 +439,12 @@ class Trainer:
                 self.state, metrics = self._run_train_step(
                     "train", imgs, captions, idxs, lr, rng)
             self._host_step += 1
+
+            if self._preempt_requested:
+                self._save_train_state(epoch, batch_offset=batch_idx + 1)
+                print(f"Preempted at epoch {epoch} batch {batch_idx + 1}: "
+                      f"train state saved; rerun with --resume to continue")
+                raise TrainingPreempted()
 
             # Each float()/int() below synchronizes with the device; with
             # --fast-metrics that cost is paid only at log-interval batches
@@ -517,20 +583,59 @@ class Trainer:
             config_path = os.path.join(cfg.checkpoint_dir, "model_config.json")
             cfg.save_model_config(config_path)
             self.logger.save_file(config_path)
-        ckpt.save_train_state(cfg.checkpoint_dir, int(self.state.step),
-                              {"state": self.state, "epoch": epoch})
+        self._save_train_state(epoch, batch_offset=0)
         return path
+
+    def _save_train_state(self, epoch: int, batch_offset: int) -> None:
+        """Orbax train-state save. batch_offset=0 marks `epoch` completed;
+        batch_offset>0 marks a mid-epoch preemption save (that many batches
+        of `epoch` are already trained)."""
+        ckpt.save_train_state(self.cfg.checkpoint_dir, int(self.state.step),
+                              {"state": self.state, "epoch": epoch,
+                               "batch_offset": batch_offset})
+
+    @contextmanager
+    def _preempt_handlers(self):
+        """Install SIGTERM/SIGUSR1 handlers (the signals preemptible cloud
+        schedulers deliver) that request a checkpoint-and-stop at the next
+        step boundary; restore the previous handlers on exit. No-op outside
+        the main thread (signal.signal raises there)."""
+        import signal
+
+        def handler(signum, frame):
+            print(f"Signal {signum} received — checkpointing at the next "
+                  f"step boundary")
+            self.request_preempt()
+
+        installed = []
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                installed.append((sig, signal.signal(sig, handler)))
+            except ValueError:
+                pass
+        try:
+            yield
+        finally:
+            for sig, old in installed:
+                try:
+                    signal.signal(sig, old)
+                except ValueError:
+                    pass
 
     def fit(self) -> dict:
         cfg = self.cfg
         last = {}
         epoch = self.start_epoch - 1
-        for epoch in range(self.start_epoch, cfg.epochs + 1):
-            self.train_epoch(epoch)
-            last = self.validate(epoch)
-            self.save_epoch(epoch)
-        if cfg.perform_test:
-            last = self.test(max(epoch, self.start_epoch))
+        try:
+            with self._preempt_handlers():
+                for epoch in range(self.start_epoch, cfg.epochs + 1):
+                    self.train_epoch(epoch)
+                    last = self.validate(epoch)
+                    self.save_epoch(epoch)
+                if cfg.perform_test:
+                    last = self.test(max(epoch, self.start_epoch))
+        except TrainingPreempted:
+            last = {"preempted": True, "epoch": epoch}
         ckpt.wait_for_saves()   # commit any in-flight async orbax save
         self.logger.finish()
         return last
