@@ -107,6 +107,11 @@ class Config:
                                    # halves the dominant saved-activation
                                    # HBM traffic of the training backward
                                    # pass; off = exact f32 parity
+    bank_dtype: str = "float32"    # HBM feature-bank storage dtype
+                                   # ("float32" | "bfloat16"); bfloat16
+                                   # halves bank residency + gather traffic
+                                   # (features are cast back to f32 after
+                                   # the per-step gather)
 
     @property
     def encoder_dim(self) -> int:
@@ -240,6 +245,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="compute the attention tanh intermediate in "
                              "bfloat16 (halves backward-pass activation "
                              "traffic; default off = exact f32 numerics)")
+    parser.add_argument("--bank-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="HBM feature-bank storage dtype; bfloat16 "
+                             "halves bank residency and gather traffic "
+                             "(default float32 = exact numerics)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

@@ -262,12 +262,18 @@ class Trainer:
                 # identical (asserted in tests/test_parallel.py).
                 sh = (batch_sharding(self.mesh) if self.n_data > 1
                       else replicated(self.mesh))
+                # --bank-dtype bfloat16 halves bank residency + gather
+                # traffic; the step casts gathered rows back to f32, so the
+                # only numeric delta is the bf16 rounding of stored features.
+                bank_dtype = (np.dtype("float32") if cfg.bank_dtype == "float32"
+                              else jnp.bfloat16)
                 for loader in (self.train_loader, self.val_loader,
                                self.test_loader):
                     split = loader.split
                     self.bank[split] = {
                         "feats": self._put_global(
-                            _pad_rows(self.features[split], self.n_data), sh),
+                            _pad_rows(self.features[split], self.n_data)
+                            .astype(bank_dtype), sh),
                         "caps": self._put_global(
                             _pad_rows(loader.dataset.captions, self.n_data), sh),
                         "rows": self.row_map[split],

@@ -156,7 +156,9 @@ def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float,
 
     def step_fn(state: TrainState, feat_bank, caps_bank, img_idx, row_idx,
                 lr, rng, row_mask=None):
-        features = feat_bank[img_idx]
+        # astype is a no-op for f32 banks; a bfloat16 bank (--bank-dtype)
+        # is widened right after the gather so the decoder math stays f32.
+        features = feat_bank[img_idx].astype(jnp.float32)
         captions = caps_bank[row_idx]
         (loss, aux), grads = jax.value_and_grad(
             lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
@@ -179,7 +181,9 @@ def make_bank_eval_step(dcfg: DecoderConfig, alpha_c: float):
 
     def eval_fn(params, feat_bank, caps_bank, img_idx, row_idx,
                 row_mask=None):
-        features = feat_bank[img_idx]
+        # astype is a no-op for f32 banks; a bfloat16 bank (--bank-dtype)
+        # is widened right after the gather so the decoder math stays f32.
+        features = feat_bank[img_idx].astype(jnp.float32)
         captions = caps_bank[row_idx]
         _, (metrics, preds, alphas) = _loss_and_metrics(
             dcfg, alpha_c, params, features, captions, None, False, row_mask)

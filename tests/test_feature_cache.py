@@ -61,6 +61,31 @@ def test_cached_loader_skips_images(data_root, tmp_path):
     assert tr.row_map["train"].shape[0] == 8
 
 
+def test_bf16_bank_halves_residency_close_numerics(data_root, tmp_path):
+    """--bank-dtype bfloat16: bank HBM residency halves; training numerics
+    stay within bf16 feature-rounding tolerance of the f32 bank."""
+    import jax.numpy as jnp
+    from sat_tpu.engine.loop import Trainer
+    runs = {}
+    for dt in ("float32", "bfloat16"):
+        tr = Trainer(_cfg(data_root, tmp_path / dt, cache_features=True,
+                          bank_dtype=dt))
+        assert tr.use_bank
+        feats = tr.bank["train"]["feats"]
+        assert feats.dtype == (jnp.bfloat16 if dt == "bfloat16"
+                               else jnp.float32)
+        tr.train_epoch(1)
+        runs[dt] = {"params": np.asarray(tr.state.params["deep_output"]["b"]),
+                    "val": tr.validate(1),
+                    "nbytes": feats.nbytes}
+    assert runs["bfloat16"]["nbytes"] * 2 == runs["float32"]["nbytes"]
+    assert np.isfinite(runs["bfloat16"]["val"]["loss"])
+    np.testing.assert_allclose(runs["bfloat16"]["params"],
+                               runs["float32"]["params"], atol=5e-3)
+    assert runs["bfloat16"]["val"]["loss"] == pytest.approx(
+        runs["float32"]["val"]["loss"], rel=5e-2)
+
+
 def test_fast_metrics_skips_offinterval_syncs(data_root, tmp_path):
     from sat_tpu.engine.loop import Trainer
     cfg = _cfg(data_root, tmp_path, cache_features=True, fast_metrics=True,
