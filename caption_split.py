@@ -4,9 +4,13 @@
 The serving-scale decode path: every batch of images runs image->encoder->
 batched fixed-shape beam as one jitted TPU program
 (sat_tpu.models.beam.beam_search_batched); the reference can only caption
-one image per Python loop (generate_caption.py). Writes one JSON object per
+one image per Python loop (generate_caption.py). Device and host are
+software-pipelined over JAX async dispatch (--pipeline-depth, default 2):
+while the TPU computes batch N, the host D2H-transfers, token-decodes and
+JSONL-writes batch N-1, so neither side idles. Writes one JSON object per
 image (path, caption tokens, raw beam score) and reports free-running
-corpus BLEU-1..4 against the split's reference captions plus throughput.
+corpus BLEU-1..4 against the split's reference captions plus wall-clock
+e2e throughput (loader + device + postproc).
 
     python caption_split.py --model model/model_vgg19_8.npz \
         --split test --beam-size 5 --batch-size 64 --out captions.jsonl
@@ -48,6 +52,11 @@ def main():
                              "f32 on every tested image but bit parity is "
                              "not guaranteed)")
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="in-flight device batches; the host "
+                             "post-processes batch N-1 (D2H, token decode, "
+                             "JSONL) while the device computes batch N. "
+                             "1 = the old fully-synchronous loop")
     parser.add_argument("--fraction", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None,
                         help="JSONL output path (default: stdout summary only)")
@@ -97,19 +106,20 @@ def main():
 
     out_f = open(args.out, "w") if args.out else None
     hypotheses, all_refs = [], []
-    n_imgs, t_total = 0, 0.0
+    n_imgs = 0
     row = 0
-    for batch_idx, (imgs, _, all_captions) in enumerate(loader.epoch(0)):
-        step_rng = jax.random.fold_in(rng, batch_idx)
-        t0 = time.perf_counter()
-        result = jax.block_until_ready(
-            caption_batch(enc_params, dec_params, imgs, step_rng))
-        t_total += time.perf_counter() - t0
-        # One device->host transfer per field, then index in numpy — per-image
-        # device slicing would issue ~8*B tiny transfers over the tunnel.
+
+    def drain(pending_item):
+        """Host half of the pipeline: D2H the finished batch and decode it.
+        np.asarray is the sync point (block_until_ready can return early on
+        the axon plugin); one transfer per field, then index in numpy —
+        per-image device slicing would issue ~8*B tiny transfers over the
+        tunnel."""
+        nonlocal n_imgs, row
+        n_batch, all_captions, result = pending_item
         result = jax.tree_util.tree_map(np.asarray, result)
-        n_imgs += len(imgs)
-        for i in range(len(imgs)):
+        n_imgs += n_batch
+        for i in range(n_batch):
             res_i = jax.tree_util.tree_map(lambda x: x[i], result)
             if args.decode == "beam":
                 tokens, _ = extract_caption(res_i)
@@ -128,6 +138,25 @@ def main():
                     "img_path": ds.img_paths[row],
                     "caption": " ".join(words), **extra}) + "\n")
             row += 1
+
+    # Software pipeline over JAX async dispatch: the jitted call returns
+    # futures immediately, so up to --pipeline-depth batches are in flight
+    # on the device while the host decodes tokens / writes JSONL for the
+    # oldest one. Throughput is wall-clock over the whole loop (per-batch
+    # device timing is meaningless once batches overlap).
+    from collections import deque
+    pending = deque()
+    depth = max(1, args.pipeline_depth)
+    t0 = time.perf_counter()
+    for batch_idx, (imgs, _, all_captions) in enumerate(loader.epoch(0)):
+        step_rng = jax.random.fold_in(rng, batch_idx)
+        pending.append((len(imgs), all_captions,
+                        caption_batch(enc_params, dec_params, imgs, step_rng)))
+        if len(pending) >= depth:
+            drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
+    t_total = time.perf_counter() - t0
     if out_f:
         out_f.close()
 

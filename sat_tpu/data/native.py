@@ -2,8 +2,15 @@
 
 The PIL path in sat_tpu.data.transforms stays the default (bit-parity with
 the reference's torchvision transforms); this module is the high-throughput
-serving path: one fused C++ pass doing bilinear resize + ImageNet
-normalization straight into a float32 NHWC buffer.
+serving path, two tiers:
+
+- `resize_normalize`: one fused C++ pass doing bilinear resize + ImageNet
+  normalization straight into a float32 NHWC buffer (input: decoded RGB).
+- `load_image` / `load_images`: the complete file -> tensor path — read +
+  JPEG/PNG decode (libjpeg/libpng) + the fused resize/normalize, entirely
+  in C++, with a thread pool for batches (ctypes releases the GIL for the
+  whole call). Per-image failures (exotic formats) report a status and the
+  caller falls back to PIL for just those images.
 
 The library auto-builds on first use if g++ is available
 (tools/build_native.sh does the same ahead of time). `available()` gates
@@ -39,14 +46,17 @@ def _build() -> bool:
     if not os.path.exists(_SRC_PATH):
         return False
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB_PATH, _SRC_PATH],
-            check=True, capture_output=True)
-        return True
-    except (OSError, subprocess.CalledProcessError):
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", _LIB_PATH, _SRC_PATH, "-lpthread"]
+    # Codec libs first; preproc.cpp's __has_include guards make the plain
+    # build (no in-native decode) the clean fallback where they're absent.
+    for cmd in (base + ["-ljpeg", "-lpng"], base + ["-DSAT_NO_CODECS"]):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -54,9 +64,12 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
-            _load_failed = True
-            return None
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH)
+                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH))
+        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+            if not os.path.exists(_LIB_PATH):
+                _load_failed = True
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -67,6 +80,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
         lib.resize_normalize.restype = None
+        try:
+            lib.decode_support.restype = ctypes.c_int
+            lib.load_resize_normalize.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+            lib.load_resize_normalize.restype = ctypes.c_int
+            lib.load_resize_normalize_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+            lib.load_resize_normalize_batch.restype = None
+        except AttributeError:
+            pass  # pre-decode build of the library; resize tier still works
         _lib = lib
         return _lib
 
@@ -89,6 +117,59 @@ def resize_normalize(rgb: np.ndarray, size: int = constants.IMAGE_SIZE) -> np.nd
         _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         _STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return dst
+
+
+def decode_support() -> int:
+    """Bitmask of in-native codecs: 1 = JPEG, 2 = PNG; 0 = decode tier not
+    compiled in (resize tier may still be available)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "decode_support"):
+        return 0
+    return int(lib.decode_support())
+
+
+# Status codes (keep in sync with native/preproc.cpp).
+OK, ERR_READ, ERR_FORMAT, ERR_DECODE = 0, 1, 2, 3
+
+
+def load_image(path: str, size: int = constants.IMAGE_SIZE) -> Optional[np.ndarray]:
+    """Full native path for one image: file -> JPEG/PNG decode -> fused
+    resize+normalize, no Python in between. Returns None when the native
+    tier can't handle the file (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "load_resize_normalize"):
+        return None
+    dst = np.empty((size, size, 3), dtype=np.float32)
+    st = lib.load_resize_normalize(
+        path.encode(), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, size,
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return dst if st == OK else None
+
+
+def load_images(paths: list, size: int = constants.IMAGE_SIZE,
+                n_threads: int = 0):
+    """Batched full-native load across a C++ thread pool (the GIL is
+    released for the whole call). Returns (imgs (N,size,size,3) float32,
+    status (N,) int32) — rows with status != OK are undefined and must be
+    re-loaded via the Python path. n_threads=0 -> os.cpu_count()."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "load_resize_normalize_batch"):
+        return None, np.full(len(paths), ERR_FORMAT, dtype=np.int32)
+    n = len(paths)
+    dst = np.empty((n, size, size, 3), dtype=np.float32)
+    status = np.empty(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.load_resize_normalize_batch(
+        arr, n, dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, size,
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads, status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return dst, status
 
 
 def resize_normalize_reference(rgb: np.ndarray,

@@ -44,12 +44,17 @@ def load_and_preprocess_image(path: str, size: int = constants.IMAGE_SIZE,
     import os
     if use_native is None:
         use_native = os.environ.get("SAT_NATIVE_PREPROC") == "1"
-    img = pil_loader(path)
     if use_native:
         from sat_tpu.data import native
+        # Full-native tier first (file -> decode -> resize -> normalize all
+        # in C++); falls through per image when the codec can't handle it.
+        out = native.load_image(path, size) if native.decode_support() else None
+        if out is not None:
+            return out
         if native.available():
+            img = pil_loader(path)
             return native.resize_normalize(np.asarray(img, np.uint8), size)
-    return preprocess_pil(img, size)
+    return preprocess_pil(pil_loader(path), size)
 
 
 def denormalize(img: np.ndarray) -> np.ndarray:

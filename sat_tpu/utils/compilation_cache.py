@@ -11,11 +11,39 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """CPU-feature + jax-version hash. XLA:CPU persists AOT executables
+    specialized to the compiling machine's ISA features; loading them on a
+    different host machine type warns 'could lead to execution errors such
+    as SIGILL' (observed live when this pod migrated hosts). Partitioning
+    the cache per fingerprint makes stale cross-host artifacts unreachable."""
+    import hashlib
+
+    import jax
+
+    txt = jax.__version__
+    try:
+        import platform
+        txt += platform.machine()
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(txt.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
+    base = cache_dir or os.environ.get(
         "SAT_COMPILATION_CACHE", os.path.expanduser("~/.cache/sat_tpu_xla"))
+    try:
+        cache_dir = os.path.join(base, _host_fingerprint())
+    except Exception:
+        cache_dir = base
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

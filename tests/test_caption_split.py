@@ -57,3 +57,16 @@ def test_caption_split_cli(tmp_path, monkeypatch, capsys):
         assert summary["images"] == 4
         rows = [json.loads(l) for l in open(out_m)]
         assert len(rows) == 4 and all("caption" in r for r in rows)
+
+    # pipelining must not change results: depth 1 (fully synchronous) and a
+    # depth larger than the batch count produce byte-identical JSONL
+    for depth in ("1", "8"):
+        out_d = str(tmp_path / f"caps_d{depth}.jsonl")
+        monkeypatch.setattr(sys, "argv", [
+            "caption_split.py", "--model",
+            str(tmp_path / "model" / "model_vgg19_1.npz"),
+            "--split", "test", "--beam-size", "2", "--batch-size", "2",
+            "--pipeline-depth", depth, "--out", out_d])
+        caption_split.main()
+        capsys.readouterr()
+        assert open(out_d).read() == open(out_path).read()

@@ -31,6 +31,105 @@ def test_native_identity_resize_is_exact_normalize(lib_available):
     np.testing.assert_allclose(out[0, 0], expected.astype(np.float32), atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def decode_available(lib_available):
+    if native.decode_support() == 0:
+        pytest.skip("native build lacks JPEG/PNG codecs; decode tier optional")
+    return native.decode_support()
+
+
+def _smooth_rgb(h=96, w=120):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([yy * 255 / h, xx * 255 / w, (yy + xx) * 127 / (h + w)],
+                   axis=-1)
+    return img.astype(np.uint8)
+
+
+def test_native_png_decode_exact(decode_available, tmp_path):
+    """PNG is lossless: the full-native path must equal PIL-decode +
+    native-resize bit for bit (identical uint8 in, identical kernel)."""
+    from PIL import Image
+    img = _smooth_rgb()
+    p = str(tmp_path / "img.png")
+    Image.fromarray(img).save(p)
+    nat = native.load_image(p, 64)
+    assert nat is not None
+    via_pil = native.resize_normalize(
+        np.asarray(Image.open(p).convert("RGB"), np.uint8), 64)
+    np.testing.assert_array_equal(nat, via_pil)
+
+
+def test_native_gray_png_matches_pil_rgb_convert(decode_available, tmp_path):
+    from PIL import Image
+    gray = (_smooth_rgb()[:, :, 0]).astype(np.uint8)
+    p = str(tmp_path / "gray.png")
+    Image.fromarray(gray, mode="L").save(p)
+    nat = native.load_image(p, 64)
+    assert nat is not None
+    via_pil = native.resize_normalize(
+        np.asarray(Image.open(p).convert("RGB"), np.uint8), 64)
+    np.testing.assert_array_equal(nat, via_pil)
+
+
+def test_native_jpeg_decode_close_to_pil(decode_available, tmp_path):
+    """JPEG decode: PIL also uses libjpeg, so outputs should be essentially
+    identical; allow a tiny tolerance for decoder build differences."""
+    from PIL import Image
+    img = _smooth_rgb(128, 128)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    nat = native.load_image(p, 64)
+    assert nat is not None
+    via_pil = native.resize_normalize(
+        np.asarray(Image.open(p).convert("RGB"), np.uint8), 64)
+    # normalized units: 1 uint8 step ~ 1/255/0.225 ~ 0.0174
+    assert np.abs(nat - via_pil).max() < 0.06
+    assert np.abs(nat - via_pil).mean() < 0.005
+
+
+def test_native_decode_failures(decode_available, tmp_path):
+    assert native.load_image(str(tmp_path / "missing.jpg"), 64) is None
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"not an image at all")
+    assert native.load_image(bad, 64) is None
+
+
+def test_native_batch_mixed_status_and_threads(decode_available, tmp_path):
+    from PIL import Image
+    paths, singles = [], []
+    for i in range(6):
+        p = str(tmp_path / f"b{i}.png")
+        Image.fromarray(_smooth_rgb(64 + i, 80 + i)).save(p)
+        paths.append(p)
+        singles.append(native.load_image(p, 48))
+    paths.insert(3, str(tmp_path / "missing.png"))  # one bad row mid-batch
+
+    for n_threads in (1, 4):
+        imgs, status = native.load_images(paths, 48, n_threads=n_threads)
+        assert status[3] == native.ERR_READ
+        good = [i for i in range(len(paths)) if i != 3]
+        assert all(status[i] == native.OK for i in good)
+        for out_row, single in zip((imgs[i] for i in good), singles):
+            np.testing.assert_array_equal(out_row, single)
+
+
+def test_load_and_preprocess_full_native_path(decode_available, tmp_path):
+    """SAT_NATIVE_PREPROC routes through the full-native tier and falls
+    back to PIL for files the codecs reject."""
+    from PIL import Image
+    from sat_tpu.data.transforms import load_and_preprocess_image
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(_smooth_rgb()).save(p, quality=92)
+    out = load_and_preprocess_image(p, 64, use_native=True)
+    np.testing.assert_array_equal(out, native.load_image(p, 64))
+
+    # a BMP is rejected by the native tier -> PIL fallback, still succeeds
+    bmp = str(tmp_path / "img.bmp")
+    Image.fromarray(_smooth_rgb()).save(bmp)
+    out_bmp = load_and_preprocess_image(bmp, 64, use_native=True)
+    assert out_bmp.shape == (64, 64, 3) and np.isfinite(out_bmp).all()
+
+
 def test_native_close_to_pil_path(lib_available):
     """Different bilinear conventions (PIL uses area-weighted support) —
     but on smooth images the two paths must agree closely."""
