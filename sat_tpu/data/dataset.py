@@ -30,6 +30,7 @@ sat_tpu.parallel).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 from collections import defaultdict
@@ -93,6 +94,44 @@ class CaptionDataset:
                 self._cache[path] = img
         return img
 
+    def load_image_batch(self, idxs) -> np.ndarray:
+        """Batch image load. With SAT_NATIVE_PREPROC=1 and the native decode
+        tier available, cache misses go through one C++ thread-pool call
+        (file read + JPEG/PNG decode + fused resize/normalize, GIL released
+        for the whole batch); rows the codecs reject — and everything on the
+        PIL parity path — fall back to the per-image loader."""
+        out = [None] * len(idxs)
+        miss = []
+        if self._cache is not None:
+            with self._cache_lock:
+                for pos, i in enumerate(idxs):
+                    out[pos] = self._cache.get(self.img_paths[i])
+                    if out[pos] is None:
+                        miss.append(pos)
+        else:
+            miss = list(range(len(idxs)))
+
+        if miss and os.environ.get("SAT_NATIVE_PREPROC") == "1":
+            from sat_tpu.data import native
+            if native.decode_support():
+                paths = [self.img_paths[idxs[pos]] for pos in miss]
+                imgs, status = native.load_images(paths, self.image_size)
+                if imgs is not None:
+                    done = []
+                    for k, pos in enumerate(miss):
+                        if status[k] == native.OK:
+                            out[pos] = imgs[k]
+                            done.append(pos)
+                    if self._cache is not None and done:
+                        with self._cache_lock:
+                            for pos in done:
+                                self._cache[self.img_paths[idxs[pos]]] = out[pos]
+                    miss = [pos for pos in miss if pos not in set(done)]
+
+        for pos in miss:
+            out[pos] = self.load_image(idxs[pos])
+        return np.stack(out)
+
     def __getitem__(self, index: int):
         return self.load_image(index), self.captions[index], self.all_captions[index]
 
@@ -149,7 +188,7 @@ class BatchLoader:
         return order[:per_shard * self.shard_count][self.shard_index::self.shard_count]
 
     def _make_batch(self, idxs: np.ndarray):
-        imgs = (np.stack([self.dataset.load_image(i) for i in idxs])
+        imgs = (self.dataset.load_image_batch(idxs)
                 if self.load_images else None)
         captions = self.dataset.captions[idxs]
         all_captions = self.dataset.all_captions[idxs]

@@ -130,6 +130,51 @@ def test_load_and_preprocess_full_native_path(decode_available, tmp_path):
     assert out_bmp.shape == (64, 64, 3) and np.isfinite(out_bmp).all()
 
 
+def test_dataset_batched_native_load(decode_available, tmp_path, monkeypatch):
+    """CaptionDataset.load_image_batch: one C++ thread-pool call for the
+    whole batch, per-row PIL fallback for rejected formats, cache filled."""
+    import os
+
+    from PIL import Image
+    from tests._synth import build_synth_dataset
+    from sat_tpu.data import generate_json_data
+    from sat_tpu.data.dataset import CaptionDataset
+    from sat_tpu.data.transforms import load_and_preprocess_image
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=1, n_val=1, n_test=4, caps_per_img=2,
+                        image_size=40)
+    # vary formats: img #2 jpeg, #3 bmp (native tier rejects bmp -> fallback)
+    import json
+    ds_json = json.load(open(f"{root}/dataset.json"))
+    test_imgs = [im for im in ds_json["images"] if im["split"] == "test"]
+    for im, ext in [(test_imgs[2], "jpg"), (test_imgs[3], "bmp")]:
+        old = f"{root}/imgs/{im['filename']}"
+        new = old[:-3] + ext
+        Image.open(old).save(new)
+        os.remove(old)
+        im["filename"] = os.path.basename(new)
+    json.dump(ds_json, open(f"{root}/dataset.json", "w"))
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+
+    monkeypatch.setenv("SAT_NATIVE_PREPROC", "1")
+    ds = CaptionDataset(root, "test", image_size=40)
+    idxs = list(range(len(ds)))
+    batch = ds.load_image_batch(idxs)
+    assert batch.shape == (len(idxs), 40, 40, 3)
+    for pos, i in enumerate(idxs):
+        single = load_and_preprocess_image(ds.img_paths[i], 40,
+                                           use_native=True)
+        np.testing.assert_array_equal(batch[pos], single)
+    # cache is now warm: a second call must not re-decode (remove the files)
+    for p in set(ds.img_paths):
+        os.remove(p)
+    np.testing.assert_array_equal(ds.load_image_batch(idxs), batch)
+
+    monkeypatch.delenv("SAT_NATIVE_PREPROC")
+
+
 def test_native_close_to_pil_path(lib_available):
     """Different bilinear conventions (PIL uses area-weighted support) —
     but on smooth images the two paths must agree closely."""
