@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from contextlib import contextmanager
 from enum import Enum
 
@@ -435,28 +436,16 @@ class Trainer:
         skip = self._resume_batch_offset if epoch == self.start_epoch else 0
         self._resume_batch_offset = 0
 
-        for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
-            if batch_idx < skip:
-                continue
-            # Host-side step counter: folding in state.step would force a
-            # device sync before every dispatch.
-            rng = jax.random.fold_in(self.dropout_rng, self._host_step)
-            with jax.profiler.StepTraceAnnotation("train", step_num=self._host_step):
-                self.state, metrics = self._run_train_step(
-                    "train", imgs, captions, idxs, lr, rng)
-            self._host_step += 1
-
-            if self._preempt_requested:
-                self._save_train_state(epoch, batch_offset=batch_idx + 1)
-                print(f"Preempted at epoch {epoch} batch {batch_idx + 1}: "
-                      f"train state saved; rerun with --resume to continue")
-                raise TrainingPreempted()
-
-            # Each float()/int() below synchronizes with the device; with
-            # --fast-metrics that cost is paid only at log-interval batches
-            # (metrics for the skipped batches are simply not accumulated).
+        def finish(batch_idx, metrics):
+            """Host half of one train step, run one batch behind the device:
+            each float()/int() below synchronizes, so deferring them by one
+            batch keeps the device busy on step N while the host reads step
+            N-1's metrics (hides the per-batch tunnel round trip). Meter
+            values and stdout are identical to the synchronous loop. With
+            --fast-metrics, non-log-interval batches skip the sync entirely
+            (their metrics are simply not accumulated)."""
             if cfg.fast_metrics and batch_idx % cfg.log_interval != 0:
-                continue
+                return
             n = int(metrics["caption_length"])
             losses.update(float(metrics["loss"]), n)
             top1.update(float(metrics["acc1"]), n)
@@ -474,6 +463,32 @@ class Trainer:
                 "train_top5_acc_raw": top5.val,
             })
 
+        pending = deque()
+        for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
+            if batch_idx < skip:
+                continue
+            # Host-side step counter: folding in state.step would force a
+            # device sync before every dispatch.
+            rng = jax.random.fold_in(self.dropout_rng, self._host_step)
+            with jax.profiler.StepTraceAnnotation("train", step_num=self._host_step):
+                self.state, metrics = self._run_train_step(
+                    "train", imgs, captions, idxs, lr, rng)
+            self._host_step += 1
+
+            if self._preempt_requested:
+                while pending:
+                    finish(*pending.popleft())
+                self._save_train_state(epoch, batch_offset=batch_idx + 1)
+                print(f"Preempted at epoch {epoch} batch {batch_idx + 1}: "
+                      f"train state saved; rerun with --resume to continue")
+                raise TrainingPreempted()
+
+            pending.append((batch_idx, metrics))
+            if len(pending) >= 2:
+                finish(*pending.popleft())
+        while pending:
+            finish(*pending.popleft())
+
     def _decode(self, token_rows) -> list:
         if self.cfg.bert:
             return [decode_caption_bert(row, self.tokenizer) for row in token_rows]
@@ -490,11 +505,13 @@ class Trainer:
         viz_count = 0
         viz_dir = os.path.join(cfg.checkpoint_dir, f"attention_viz_epoch{epoch}")
 
-        for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
-            n_real = captions.shape[0]
-            metrics, pred_tokens, alphas = self._run_eval_step(
-                loader.split, imgs, captions, idxs)
-
+        def finish(batch_idx, n_real, imgs, captions, all_captions,
+                   metrics, pred_tokens, alphas):
+            """Host half of one eval batch: sync metrics, decode tokens,
+            update meters/tables/viz. Runs one batch behind the device (the
+            `int`/`float`/np.asarray calls below are the sync points), so
+            the TPU computes batch N while this processes batch N-1."""
+            nonlocal viz_count
             n = int(metrics["caption_length"])
             losses.update(float(metrics["loss"]), n)
             top1.update(float(metrics["acc1"]), n)
@@ -540,6 +557,24 @@ class Trainer:
                         f"attention_viz/e{epoch}_b{batch_idx}_i{img_idx}",
                         png, caption=" ".join(words))
                     viz_count += 1
+
+        # Software pipeline (same shape as caption_split.py): eval steps
+        # dispatch asynchronously, so keeping one batch in flight overlaps
+        # the device compute of batch N with the host sync + decode of
+        # batch N-1 — on the tunneled chip this also hides the per-batch
+        # round trip. Results and stdout are identical to the synchronous
+        # loop (batches are finished strictly in order).
+        pending = deque()
+        for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
+            n_real = captions.shape[0]
+            metrics, pred_tokens, alphas = self._run_eval_step(
+                loader.split, imgs, captions, idxs)
+            pending.append((batch_idx, n_real, imgs, captions, all_captions,
+                            metrics, pred_tokens, alphas))
+            if len(pending) >= 2:
+                finish(*pending.popleft())
+        while pending:
+            finish(*pending.popleft())
 
         bleu = compute_bleu(decoded_all_captions, decoded_hypotheses)
         self.logger.log({
