@@ -52,6 +52,12 @@ def main():
                              "f32 on every tested image but bit parity is "
                              "not guaranteed)")
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="data-parallel serving: shard each batch over "
+                             "this many devices (0 = all available). "
+                             "Batches are padded to divide the mesh and "
+                             "trimmed after decode; results are identical "
+                             "to single-device serving")
     parser.add_argument("--pipeline-depth", type=int, default=2,
                         help="in-flight device batches; the host "
                              "post-processes batch N-1 (D2H, token decode, "
@@ -65,6 +71,7 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
     from generate_caption import load_model
@@ -90,6 +97,34 @@ def main():
         return decode_caption(tokens, word_dict, token_dict)
 
     rng = jax.random.PRNGKey(args.sample_seed)
+
+    # Data-parallel serving: params replicated, batch dim sharded over the
+    # mesh's data axis; XLA partitions the whole image->encoder->beam
+    # program (no collectives needed — decode is row-independent). Host
+    # batches are padded by repeating the last row so they divide the mesh,
+    # and trimmed back after decode (n_batch below stays the real count).
+    mesh = None
+    pad_to = 1
+    if args.mesh_data != 1:
+        from sat_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated)
+        mesh = make_mesh(n_data=args.mesh_data, n_model=1)
+        pad_to = mesh.shape["data"]
+        rep = replicated(mesh)
+        enc_params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, enc_params), rep)
+        dec_params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, dec_params), rep)
+        img_sharding = batch_sharding(mesh)
+
+    def put_imgs(imgs):
+        if mesh is None:
+            return imgs
+        n = imgs.shape[0]
+        if n % pad_to:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], pad_to - n % pad_to, axis=0)])
+        return jax.device_put(imgs, img_sharding)
 
     @jax.jit
     def caption_batch(e, d, imgs, r):
@@ -151,7 +186,8 @@ def main():
     for batch_idx, (imgs, _, all_captions) in enumerate(loader.epoch(0)):
         step_rng = jax.random.fold_in(rng, batch_idx)
         pending.append((len(imgs), all_captions,
-                        caption_batch(enc_params, dec_params, imgs, step_rng)))
+                        caption_batch(enc_params, dec_params,
+                                      put_imgs(imgs), step_rng)))
         if len(pending) >= depth:
             drain(pending.popleft())
     while pending:

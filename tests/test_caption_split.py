@@ -58,6 +58,25 @@ def test_caption_split_cli(tmp_path, monkeypatch, capsys):
         rows = [json.loads(l) for l in open(out_m)]
         assert len(rows) == 4 and all("caption" in r for r in rows)
 
+    # data-parallel serving over the 8-device CPU mesh: batch 3 forces the
+    # pad-to-mesh path (3 % 8 != 0); JSONL must match single-device exactly
+    out_mesh = str(tmp_path / "caps_mesh.jsonl")
+    monkeypatch.setattr(sys, "argv", [
+        "caption_split.py", "--model",
+        str(tmp_path / "model" / "model_vgg19_1.npz"),
+        "--split", "test", "--beam-size", "2", "--batch-size", "3",
+        "--mesh-data", "0", "--out", out_mesh])
+    caption_split.main()
+    capsys.readouterr()
+    mesh_rows = [json.loads(l) for l in open(out_mesh)]
+    base_rows = [json.loads(l) for l in open(out_path)]
+    # captions/terminations exact; scores only approx (the padded mesh batch
+    # compiles at a different shape, so float reductions reassociate)
+    assert [r["caption"] for r in mesh_rows] == [r["caption"] for r in base_rows]
+    assert [r["completed"] for r in mesh_rows] == [r["completed"] for r in base_rows]
+    np.testing.assert_allclose([r["score"] for r in mesh_rows],
+                               [r["score"] for r in base_rows], rtol=1e-5)
+
     # pipelining must not change results: depth 1 (fully synchronous) and a
     # depth larger than the batch count produce byte-identical JSONL
     for depth in ("1", "8"):

@@ -263,6 +263,55 @@ def test_sharded_bank_matches_replicated():
     np.testing.assert_allclose(results[False][1], results[True][1], atol=1e-6)
 
 
+def test_elastic_resume_across_mesh_sizes(tmp_path):
+    """Fault-tolerance + elasticity: a checkpoint written by a 1-device run
+    resumes onto the full 8-device mesh (Orbax restore re-places leaves
+    onto the new mesh's shardings) and the continued training matches a
+    straight single-device run — device count is a deployment detail, not
+    part of the training state."""
+    import os
+
+    from tests._synth import build_synth_dataset
+    from sat_tpu.config import Config
+    from sat_tpu.data import generate_json_data
+    from sat_tpu.engine.loop import Trainer
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=8, n_val=2, n_test=2, caps_per_img=2,
+                        image_size=32)
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 10)
+
+    def cfg(ckpt, epochs, mesh_data, resume=False):
+        return Config(data=root, network="vgg19", image_size=32,
+                      batch_size=4, epochs=epochs, tf=True, attention=True,
+                      log_interval=100, checkpoint_dir=str(tmp_path / ckpt),
+                      perform_test=False, seed=11, lr=1e-3,
+                      mesh_data=mesh_data, resume=resume)
+
+    # straight 2-epoch single-device run = the ground truth
+    t_ref = Trainer(cfg("ref", 2, 1))
+    t_ref.fit()
+
+    # 1 epoch on 1 device, then resume epoch 2 on all 8 devices
+    t1 = Trainer(cfg("elastic", 1, 1))
+    t1.fit()
+    t2 = Trainer(cfg("elastic", 2, 0, resume=True))
+    assert t2.start_epoch == 2
+    assert int(t2.state.step) == int(t1.state.step)
+    t2.fit()
+
+    assert int(t2.state.step) == int(t_ref.state.step)
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["deep_output"]["b"]),
+        np.asarray(t_ref.state.params["deep_output"]["b"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["lstm"]["w_ih"]),
+        np.asarray(t_ref.state.params["lstm"]["w_ih"]),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_graft_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
