@@ -39,6 +39,17 @@ GRID = 196
 FALLBACK_REF_CAPTIONS_PER_SEC = 2.2
 
 
+def _init_on_host(init_fn, *args):
+    """Run a param-init function on the host CPU backend. Random init is
+    dozens of small device ops; over the tunnel in a slow phase those alone
+    measured 425s (the compile itself took 12s). CPU-init + bulk transfer
+    keeps the watchdogs for actual measurement."""
+    import jax
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return init_fn(*args)
+
+
 def measure_tpu(fast_mode: bool = False) -> float:
     """Parity mode (default) is token-exact vs the reference. fast_mode=True
     measures the opt-in bf16-encoder/bf16-decode + approx-top-k serving
@@ -55,8 +66,8 @@ def measure_tpu(fast_mode: bool = False) -> float:
                         use_ado=True, use_attention=True)
     rng = jax.random.PRNGKey(0)
     enc_rng, dec_rng = jax.random.split(rng)
-    enc_params = init_encoder_params(enc_rng, "vgg19")
-    dec_params = init_decoder_params(dec_rng, cfg)
+    enc_params = _init_on_host(init_encoder_params, enc_rng, "vgg19")
+    dec_params = _init_on_host(init_decoder_params, dec_rng, cfg)
     # Worst case: suppress the stop ids so all 51 decode steps always run.
     b = np.asarray(dec_params["ado"]["f_out"]["b"]).copy()
     b[[1, 102]] = -1e9
@@ -119,8 +130,8 @@ def measure_train():
     B, T = 64, 27
     cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
                         use_ado=True, use_attention=True)
-    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params)
+    params = _init_on_host(init_decoder_params, jax.random.PRNGKey(0), cfg)
+    state = _init_on_host(init_train_state, params)
     step = make_train_step(cfg, "vgg19", alpha_c=1.0, from_features=True)
 
     rng = np.random.default_rng(0)
@@ -172,8 +183,8 @@ def measure_latency() -> float:
                         use_ado=True, use_attention=True)
     rng = jax.random.PRNGKey(0)
     enc_rng, dec_rng = jax.random.split(rng)
-    enc_params = init_encoder_params(enc_rng, "vgg19")
-    dec_params = init_decoder_params(dec_rng, cfg)
+    enc_params = _init_on_host(init_encoder_params, enc_rng, "vgg19")
+    dec_params = _init_on_host(init_decoder_params, dec_rng, cfg)
     b = np.asarray(dec_params["ado"]["f_out"]["b"]).copy()
     b[[1, 102]] = -1e9
     dec_params["ado"]["f_out"]["b"] = jnp.asarray(b)
