@@ -142,3 +142,52 @@ def test_config_sidecar_round_trips_extensions(tmp_path):
     assert "image_size" not in ref        # reference file stays byte-compatible
     loaded = Config.from_model_config(path)
     assert loaded.image_size == 96 and loaded.cache_features is True
+
+
+def test_coco_layout_subfolders_and_restval(tmp_path):
+    """COCO-style Karpathy split: images live in subfolders ('filepath' key,
+    e.g. train2014/val2014) and 'restval' images are dropped — the evident
+    intent of reference generate_json_data.py:25-29, whose uninitialized
+    filepath_defined makes the COCO branch raise NameError (documented
+    deviation, vocab.py module docstring). End-to-end: prep -> dataset ->
+    loader batch."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from sat_tpu.data import BatchLoader, CaptionDataset, generate_json_data
+
+    root = str(tmp_path / "coco")
+    words = ["a", "dog", "runs", "fast", "cat", "sits", "still", "now"]
+    rng = np.random.default_rng(0)
+    images = []
+    for i, (split, sub) in enumerate([("train", "train2014"),
+                                      ("train", "train2014"),
+                                      ("val", "val2014"),
+                                      ("test", "val2014"),
+                                      ("restval", "val2014")]):
+        os.makedirs(f"{root}/imgs/{sub}", exist_ok=True)
+        fname = f"COCO_{sub}_{i:012d}.jpg"
+        arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(f"{root}/imgs/{sub}/{fname}")
+        sents = [{"tokens": [words[int(rng.integers(0, len(words)))]
+                             for _ in range(4)]} for _ in range(2)]
+        images.append({"filename": fname, "filepath": sub, "split": split,
+                       "sentences": sents})
+    json.dump({"images": images}, open(f"{root}/dataset.json", "w"))
+
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 10)
+
+    train_paths = json.load(open(f"{root}/train_img_paths.json"))
+    assert len(train_paths) == 4                      # 2 imgs x 2 captions
+    assert all("/imgs/train2014/" in p for p in train_paths)
+    # restval rows appear in no split artifact
+    all_paths = sum((json.load(open(f"{root}/{s}_img_paths.json"))
+                     for s in ("train", "val", "test")), [])
+    assert not any(f"{4:012d}" in p for p in all_paths)
+
+    ds = CaptionDataset(root, "train", image_size=32)
+    imgs, caps, all_caps = next(iter(BatchLoader(ds, 4, shuffle=False)))
+    assert imgs.shape == (4, 32, 32, 3) and np.isfinite(imgs).all()
