@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Captioning server: dynamic micro-batching over the batched beam path.
+
+The production serving front end the reference lacks entirely (its decode
+is one image per Python `caption()` call, generate_caption.py). Requests
+are newline-delimited JSON over TCP:
+
+    {"id": "r1", "path": "/abs/image.jpg"}\n
+->  {"id": "r1", "caption": "a dog runs", "score": ..., "completed": true}\n
+
+Concurrent requests are coalesced into one device batch (up to --max-batch,
+waiting at most --batch-window-ms for stragglers), padded up to a
+power-of-two bucket so the jitted program compiles once per bucket, and
+decoded as a single image->encoder->batched-beam TPU program
+(sat_tpu.engine.serving.build_caption_fn). Image loading uses the native
+C++ decode tier when SAT_NATIVE_PREPROC=1 (per-image PIL fallback).
+
+    python serve.py --model model/model_vgg19_8.npz --port 8765 \
+        --max-batch 32 --batch-window-ms 5
+
+Shutdown: SIGTERM/SIGINT, or a client line {"cmd": "shutdown"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import socket
+import threading
+import time
+
+
+class CaptionServer:
+    """Socket front end + micro-batching loop around one jitted caption fn.
+
+    Testable in-process: `start()` binds an ephemeral port (`.port`),
+    `stop()` shuts the loop down. `stats` counts requests/batches/errors so
+    tests can assert coalescing happened.
+    """
+
+    def __init__(self, caption_fn, image_size: int, decode_tokens,
+                 max_batch: int = 32, batch_window_ms: float = 5.0,
+                 host: str = "127.0.0.1", port: int = 0):
+        self._caption_fn = caption_fn     # (B,S,S,3) f32 -> dict of arrays
+        self._image_size = image_size
+        self._decode_tokens = decode_tokens   # token row -> list of words
+        self._max_batch = max(1, max_batch)
+        self._window_s = batch_window_ms / 1e3
+        self._host, self._port = host, port
+        self._requests: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._sock: socket.socket | None = None
+        self.stats = {"requests": 0, "batches": 0, "errors": 0}
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        assert self._sock is not None, "server not started"
+        return self._sock.getsockname()[1]
+
+    def start(self) -> None:
+        self._sock = socket.create_server((self._host, self._port))
+        self._sock.settimeout(0.2)
+        for target in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=10)
+        if self._sock is not None:
+            self._sock.close()
+
+    def serve_forever(self) -> None:
+        try:
+            while not self._stop.is_set():
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- socket side ---------------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            t = threading.Thread(target=self._client_loop, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        conn.settimeout(0.2)
+        send_lock = threading.Lock()
+        buf = b""
+        with conn:
+            while not self._stop.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    return
+                if not chunk:
+                    return
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if line.strip():
+                        self._handle_line(line, conn, send_lock)
+
+    def _handle_line(self, line: bytes, conn, send_lock) -> None:
+        def reply(obj):
+            data = (json.dumps(obj) + "\n").encode()
+            with send_lock:
+                try:
+                    conn.sendall(data)
+                except OSError:
+                    pass
+
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            self.stats["errors"] += 1
+            reply({"error": "malformed JSON"})
+            return
+        if req.get("cmd") == "shutdown":
+            reply({"ok": "shutting down"})
+            self._stop.set()
+            return
+        if "path" not in req:
+            self.stats["errors"] += 1
+            reply({"id": req.get("id"), "error": "missing 'path'"})
+            return
+        self.stats["requests"] += 1
+        self._requests.put((req, reply))
+
+    # -- device side ---------------------------------------------------------
+
+    def _gather_batch(self):
+        """Block for the first request, then coalesce stragglers for up to
+        the batching window (or until the batch is full)."""
+        try:
+            first = self._requests.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self._window_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._requests.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self._max_batch)
+
+    def _batch_loop(self) -> None:
+        import numpy as np
+
+        from sat_tpu.data.transforms import load_and_preprocess_image
+
+        while not self._stop.is_set():
+            batch = self._gather_batch()
+            if not batch:
+                continue
+            imgs, live = [], []
+            for req, reply in batch:
+                try:
+                    imgs.append(load_and_preprocess_image(
+                        req["path"], self._image_size))
+                    live.append((req, reply))
+                except Exception as e:
+                    self.stats["errors"] += 1
+                    reply({"id": req.get("id"), "error": f"load failed: {e}"})
+            if not live:
+                continue
+            n = len(live)
+            bucket = self._bucket(n)
+            arr = np.stack(imgs + [imgs[-1]] * (bucket - n)).astype(np.float32)
+            try:
+                out = self._caption_fn(arr)
+                # D2H only what responses need (skips the (B,51,L) alphas)
+                out = {k: np.asarray(out[k])
+                       for k in ("tokens", "length", "score", "found")}
+            except Exception as e:
+                self.stats["errors"] += n
+                for req, reply in live:
+                    reply({"id": req.get("id"), "error": f"decode failed: {e}"})
+                continue
+            self.stats["batches"] += 1
+            for i, (req, reply) in enumerate(live):
+                words = self._decode_tokens(out["tokens"][i],
+                                            int(out["length"][i]),
+                                            bool(out["found"][i]))
+                reply({"id": req.get("id"),
+                       "caption": " ".join(words),
+                       "score": float(out["score"][i]),
+                       "completed": bool(out["found"][i])})
+
+
+def build_server(args) -> CaptionServer:
+    from generate_caption import load_model
+    from sat_tpu.engine.evaluate import (build_token_dict, decode_caption,
+                                         decode_caption_bert)
+    from sat_tpu.engine.serving import build_caption_fn
+    from sat_tpu.utils.compilation_cache import enable_persistent_cache
+
+    import jax
+
+    enable_persistent_cache()
+    cfg, dcfg, enc_params, dec_params, word_dict, tokenizer = load_model(
+        args.model, args.model_config, encoder_weights=args.encoder_weights,
+        bert_vocab=args.bert_vocab)
+    fn = jax.jit(build_caption_fn(cfg.network, dcfg, enc_params, dec_params,
+                                  args.beam_size, fast_topk=args.fast_topk,
+                                  bf16=args.bf16_decode))
+    token_dict = build_token_dict(word_dict) if word_dict else None
+
+    def decode_tokens(tokens, length, found):
+        # Reference fallback semantics (decoder.py:256-258 via
+        # beam.extract_caption): no completed sentence -> token [0].
+        row = tokens[:length + 1].tolist() if found else [0]
+        if cfg.bert:
+            return decode_caption_bert(row, tokenizer)
+        return decode_caption(row, word_dict, token_dict)
+
+    return CaptionServer(fn, cfg.image_size, decode_tokens,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms,
+                         host=args.host, port=args.port)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Captioning server")
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--model-config", type=str, default=None)
+    parser.add_argument("--encoder-weights", type=str, default=None)
+    parser.add_argument("--bert-vocab", type=str, default=None)
+    parser.add_argument("--beam-size", type=int, default=5)
+    parser.add_argument("--fast-topk", action="store_true", default=False)
+    parser.add_argument("--bf16-decode", action="store_true", default=False)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--batch-window-ms", type=float, default=5.0)
+    args = parser.parse_args()
+
+    server = build_server(args)
+    server.start()
+    print(f"captioning server listening on {args.host}:{server.port} "
+          f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")
+
+    import signal
+
+    def _term(signum, frame):
+        server._stop.set()
+
+    signal.signal(signal.SIGTERM, _term)
+    server.serve_forever()
+    print(f"server stopped; stats: {server.stats}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Captioning server: socket round trip, micro-batching, error paths."""
+
+import json
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from tests._synth import build_synth_dataset
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A running CaptionServer over a tiny synth checkpoint + the dataset's
+    test images; yields (server, port, img_paths, expected captions)."""
+    tmp_path = tmp_path_factory.mktemp("serve")
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=2, n_val=1, n_test=3, caps_per_img=2,
+                        image_size=32)
+    from sat_tpu.data import generate_json_data
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+
+    from sat_tpu.config import Config
+    from sat_tpu.engine.loop import Trainer
+    cfg = Config(data=root, network="vgg19", image_size=32, batch_size=4,
+                 epochs=0, tf=True, attention=True, log_interval=10,
+                 checkpoint_dir=str(tmp_path / "model"), perform_test=False)
+    tr = Trainer(cfg)
+    tr.save_epoch(1)
+
+    import argparse
+
+    import serve as serve_mod
+    args = argparse.Namespace(
+        model=str(tmp_path / "model" / "model_vgg19_1.npz"),
+        model_config=None, encoder_weights=None, bert_vocab=None,
+        beam_size=3, fast_topk=False, bf16_decode=False,
+        host="127.0.0.1", port=0, max_batch=8, batch_window_ms=30.0)
+    server = serve_mod.build_server(args)
+    server.start()
+
+    img_paths = sorted({p for p in
+                        json.load(open(f"{root}/test_img_paths.json"))})
+
+    # expected captions via the library path (same params, same beam)
+    from generate_caption import load_model
+    from sat_tpu.data.transforms import load_and_preprocess_image
+    from sat_tpu.engine.evaluate import build_token_dict, decode_caption
+    from sat_tpu.models.beam import beam_search_batched, extract_caption
+    from sat_tpu.models.encoder import encoder_forward
+    import jax
+    cfg2, dcfg, enc_p, dec_p, word_dict, _ = load_model(args.model)
+    imgs = np.stack([load_and_preprocess_image(p, 32) for p in img_paths])
+    res = beam_search_batched(
+        dec_p, dcfg, encoder_forward(enc_p, "vgg19", imgs.astype(np.float32)),
+        3)
+    token_dict = build_token_dict(word_dict)
+    expected = []
+    for i in range(len(img_paths)):
+        toks, _ = extract_caption(
+            jax.tree_util.tree_map(lambda x: np.asarray(x)[i], res))
+        expected.append(" ".join(decode_caption(toks, word_dict, token_dict)))
+
+    yield server, server.port, img_paths, expected
+    server.stop()
+
+
+def _client(port):
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    f = s.makefile("rwb")
+    return s, f
+
+
+def _ask(f, req):
+    f.write((json.dumps(req) + "\n").encode())
+    f.flush()
+    return json.loads(f.readline())
+
+
+def test_single_request_round_trip(served):
+    _, port, paths, expected = served
+    s, f = _client(port)
+    resp = _ask(f, {"id": "r0", "path": paths[0]})
+    s.close()
+    assert resp["id"] == "r0"
+    assert resp["caption"] == expected[0]
+    assert isinstance(resp["score"], float)
+
+
+def test_concurrent_requests_coalesce_and_match(served):
+    server, port, paths, expected = served
+    batches_before = server.stats["batches"]
+    results = {}
+    errs = []
+
+    barrier = threading.Barrier(6)
+
+    def worker(i):
+        try:
+            s, f = _client(port)
+            barrier.wait(timeout=30)   # all sockets up before anyone sends
+            resp = _ask(f, {"id": f"c{i}", "path": paths[i % len(paths)]})
+            s.close()
+            results[resp["id"]] = resp
+        except Exception as e:   # surface in main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
+    assert len(results) == 6
+    for i in range(6):
+        assert results[f"c{i}"]["caption"] == expected[i % len(paths)]
+    # 6 near-simultaneous requests must have shared device batches
+    assert server.stats["batches"] - batches_before < 6
+
+
+def test_error_paths(served):
+    _, port, _, _ = served
+    s, f = _client(port)
+    assert "error" in _ask(f, {"id": "x", "path": "/nonexistent.jpg"})
+    assert "error" in _ask(f, {"id": "y"})
+    f.write(b"not json\n")
+    f.flush()
+    assert "error" in json.loads(f.readline())
+    s.close()
+
+
+def test_shutdown_command(tmp_path):
+    """A dedicated tiny server so shutdown doesn't kill the shared fixture."""
+    # reuse the served fixture's model via a fresh instance is heavy; build
+    # a minimal fake caption fn instead — shutdown concerns only the socket
+    # plumbing, not the model.
+    import serve as serve_mod
+
+    def fake_fn(arr):
+        n = arr.shape[0]
+        return {"tokens": np.zeros((n, 52), np.int32),
+                "length": np.zeros((n,), np.int32),
+                "score": np.zeros((n,), np.float32),
+                "found": np.ones((n,), bool)}
+
+    server = serve_mod.CaptionServer(fake_fn, 8, lambda t, l, f: ["ok"],
+                                     max_batch=2, batch_window_ms=1.0)
+    server.start()
+    s, f = _client(server.port)
+    resp = _ask(f, {"cmd": "shutdown"})
+    assert "ok" in resp
+    s.close()
+    server.stop()
+    assert server._stop.is_set()
