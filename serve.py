@@ -53,6 +53,7 @@ class CaptionServer:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._sock: socket.socket | None = None
+        self._t_start = time.monotonic()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
 
     # -- lifecycle -----------------------------------------------------------
@@ -72,7 +73,7 @@ class CaptionServer:
 
     def stop(self) -> None:
         self._stop.set()
-        for t in self._threads:
+        for t in list(self._threads):   # accept loop may still be appending
             t.join(timeout=10)
         if self._sock is not None:
             self._sock.close()
@@ -139,6 +140,10 @@ class CaptionServer:
         if req.get("cmd") == "shutdown":
             reply({"ok": "shutting down"})
             self._stop.set()
+            return
+        if req.get("cmd") == "stats":
+            reply({**self.stats, "uptime_s": round(
+                time.monotonic() - self._t_start, 1)})
             return
         if "path" not in req:
             self.stats["errors"] += 1
@@ -209,13 +214,17 @@ class CaptionServer:
                 continue
             self.stats["batches"] += 1
             for i, (req, reply) in enumerate(live):
-                words = self._decode_tokens(out["tokens"][i],
-                                            int(out["length"][i]),
-                                            bool(out["found"][i]))
-                reply({"id": req.get("id"),
-                       "caption": " ".join(words),
-                       "score": float(out["score"][i]),
-                       "completed": bool(out["found"][i])})
+                try:
+                    words = self._decode_tokens(out["tokens"][i],
+                                                int(out["length"][i]),
+                                                bool(out["found"][i]))
+                    reply({"id": req.get("id"),
+                           "caption": " ".join(words),
+                           "score": float(out["score"][i]),
+                           "completed": bool(out["found"][i])})
+                except Exception as e:   # one bad row must not kill the loop
+                    self.stats["errors"] += 1
+                    reply({"id": req.get("id"), "error": f"postproc: {e}"})
 
 
 def build_server(args) -> CaptionServer:

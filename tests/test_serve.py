@@ -132,6 +132,15 @@ def test_error_paths(served):
     s.close()
 
 
+def test_stats_command(served):
+    server, port, _, _ = served
+    s, f = _client(port)
+    stats = _ask(f, {"cmd": "stats"})
+    s.close()
+    assert stats["requests"] == server.stats["requests"]
+    assert stats["batches"] >= 1 and stats["uptime_s"] >= 0
+
+
 def test_shutdown_command(tmp_path):
     """A dedicated tiny server so shutdown doesn't kill the shared fixture."""
     # reuse the served fixture's model via a fresh instance is heavy; build
