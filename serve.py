@@ -42,8 +42,11 @@ class CaptionServer:
 
     def __init__(self, caption_fn, image_size: int, decode_tokens,
                  max_batch: int = 32, batch_window_ms: float = 5.0,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0, put_batch=None,
+                 bucket_quantum: int = 1):
         self._caption_fn = caption_fn     # (B,S,S,3) f32 -> dict of arrays
+        self._put_batch = put_batch       # optional: place batch on a mesh
+        self._bucket_quantum = max(1, bucket_quantum)
         self._image_size = image_size
         self._decode_tokens = decode_tokens   # token row -> list of words
         self._max_batch = max(1, max_batch)
@@ -174,10 +177,15 @@ class CaptionServer:
         return batch
 
     def _bucket(self, n: int) -> int:
-        b = 1
+        """Smallest quantum * power-of-two >= n (capped): bounds the number
+        of compiled shapes; the quantum (mesh data-axis size, default 1)
+        keeps every bucket divisible over the mesh."""
+        q = self._bucket_quantum
+        b = q
         while b < n:
             b *= 2
-        return min(b, self._max_batch)
+        cap = max(self._max_batch, q)
+        return min(b, cap)
 
     def _batch_loop(self) -> None:
         import numpy as np
@@ -202,6 +210,8 @@ class CaptionServer:
             n = len(live)
             bucket = self._bucket(n)
             arr = np.stack(imgs + [imgs[-1]] * (bucket - n)).astype(np.float32)
+            if self._put_batch is not None:
+                arr = self._put_batch(arr)
             try:
                 out = self._caption_fn(arr)
                 # D2H only what responses need (skips the (B,51,L) alphas)
@@ -240,6 +250,27 @@ def build_server(args) -> CaptionServer:
     cfg, dcfg, enc_params, dec_params, word_dict, tokenizer = load_model(
         args.model, args.model_config, encoder_weights=args.encoder_weights,
         bert_vocab=args.bert_vocab)
+
+    # Data-parallel serving (same scheme as caption_split --mesh-data):
+    # params replicated, batch dim sharded; decode is row-independent so
+    # XLA partitions the program with zero collectives.
+    put_batch = None
+    bucket_quantum = 1
+    mesh_data = getattr(args, "mesh_data", 1)
+    if mesh_data != 1:
+        import jax.numpy as jnp
+        from sat_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated)
+        mesh = make_mesh(n_data=mesh_data, n_model=1)
+        bucket_quantum = mesh.shape["data"]
+        rep = replicated(mesh)
+        enc_params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, enc_params), rep)
+        dec_params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, dec_params), rep)
+        img_sharding = batch_sharding(mesh)
+        put_batch = lambda arr: jax.device_put(arr, img_sharding)
+
     fn = jax.jit(build_caption_fn(cfg.network, dcfg, enc_params, dec_params,
                                   args.beam_size, fast_topk=args.fast_topk,
                                   bf16=args.bf16_decode))
@@ -256,7 +287,8 @@ def build_server(args) -> CaptionServer:
     return CaptionServer(fn, cfg.image_size, decode_tokens,
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         host=args.host, port=args.port)
+                         host=args.host, port=args.port,
+                         put_batch=put_batch, bucket_quantum=bucket_quantum)
 
 
 def main():
@@ -272,6 +304,10 @@ def main():
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument("--max-batch", type=int, default=32)
     parser.add_argument("--batch-window-ms", type=float, default=5.0)
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="data-parallel serving over this many devices "
+                             "(0 = all); batch buckets stay divisible by "
+                             "the mesh")
     args = parser.parse_args()
 
     server = build_server(args)

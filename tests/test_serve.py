@@ -40,6 +40,7 @@ def served(tmp_path_factory):
         beam_size=3, fast_topk=False, bf16_decode=False,
         host="127.0.0.1", port=0, max_batch=8, batch_window_ms=30.0)
     server = serve_mod.build_server(args)
+    server._model_path = args.model      # for the mesh test to reuse
     server.start()
 
     img_paths = sorted({p for p in
@@ -139,6 +140,32 @@ def test_stats_command(served):
     s.close()
     assert stats["requests"] == server.stats["requests"]
     assert stats["batches"] >= 1 and stats["uptime_s"] >= 0
+
+
+def test_mesh_server_matches_single_device(served, tmp_path):
+    """--mesh-data serving over the 8-device CPU mesh: same captions as the
+    single-device server for the same model (buckets pad to the mesh)."""
+    import argparse
+
+    import serve as serve_mod
+
+    server1, _, paths, expected = served
+    args = argparse.Namespace(
+        model=server1._model_path, model_config=None, encoder_weights=None,
+        bert_vocab=None, beam_size=3, fast_topk=False, bf16_decode=False,
+        host="127.0.0.1", port=0, max_batch=8, batch_window_ms=5.0,
+        mesh_data=0)
+    server = serve_mod.build_server(args)
+    assert server._bucket_quantum == 8
+    assert server._bucket(1) == 8 and server._bucket(8) == 8
+    server.start()
+    try:
+        s, f = _client(server.port)
+        resp = _ask(f, {"id": "m0", "path": paths[1]})
+        s.close()
+        assert resp["caption"] == expected[1]
+    finally:
+        server.stop()
 
 
 def test_shutdown_command(tmp_path):
