@@ -32,13 +32,15 @@
 #include <thread>
 #include <vector>
 
-// SAT_NO_CODECS is set by the fallback build (sat_tpu/data/native.py) for
-// hosts whose codec headers exist but whose shared libs aren't linkable.
-#if !defined(SAT_NO_CODECS) && __has_include(<jpeglib.h>)
+// SAT_NO_JPEG / SAT_NO_PNG / SAT_NO_CODECS are set by the fallback builds
+// (sat_tpu/data/native.py, tools/build_native.sh) for hosts where a codec's
+// headers exist but its shared library isn't linkable — each codec drops
+// independently.
+#if !defined(SAT_NO_CODECS) && !defined(SAT_NO_JPEG) && __has_include(<jpeglib.h>)
 #define SAT_HAS_JPEG 1
 #include <jpeglib.h>
 #endif
-#if !defined(SAT_NO_CODECS) && __has_include(<png.h>)
+#if !defined(SAT_NO_CODECS) && !defined(SAT_NO_PNG) && __has_include(<png.h>)
 #define SAT_HAS_PNG 1
 #include <png.h>
 #endif

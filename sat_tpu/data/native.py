@@ -46,16 +46,28 @@ def _build() -> bool:
     if not os.path.exists(_SRC_PATH):
         return False
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    # Build to a temp path and move into place atomically: concurrent
+    # processes (a training run + a serve daemon) may both decide to
+    # (re)build, and a reader must never dlopen a half-written .so.
+    tmp_path = f"{_LIB_PATH}.build{os.getpid()}"
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", _LIB_PATH, _SRC_PATH, "-lpthread"]
-    # Codec libs first; preproc.cpp's __has_include guards make the plain
-    # build (no in-native decode) the clean fallback where they're absent.
-    for cmd in (base + ["-ljpeg", "-lpng"], base + ["-DSAT_NO_CODECS"]):
+            "-o", tmp_path, _SRC_PATH, "-lpthread"]
+    # Codecs drop independently (a JPEG-only host keeps the dominant
+    # format's native decode even when libpng isn't linkable).
+    for cmd in (base + ["-ljpeg", "-lpng"],
+                base + ["-ljpeg", "-DSAT_NO_PNG"],
+                base + ["-lpng", "-DSAT_NO_JPEG"],
+                base + ["-DSAT_NO_CODECS"]):
         try:
             subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp_path, _LIB_PATH)
             return True
         except (OSError, subprocess.CalledProcessError):
             continue
+    try:
+        os.remove(tmp_path)
+    except OSError:
+        pass
     return False
 
 
@@ -70,6 +82,9 @@ def _load() -> Optional[ctypes.CDLL]:
             if not os.path.exists(_LIB_PATH):
                 _load_failed = True
                 return None
+            import sys
+            print("sat_tpu/native: rebuild of stale libsatpreproc.so failed; "
+                  "loading the outdated library", file=sys.stderr)
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

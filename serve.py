@@ -57,7 +57,12 @@ class CaptionServer:
         self._threads: list[threading.Thread] = []
         self._sock: socket.socket | None = None
         self._t_start = time.monotonic()
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:   # += on a dict int is not atomic
+            self.stats[key] += n
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -100,10 +105,11 @@ class CaptionServer:
                 continue
             except OSError:
                 return
-            t = threading.Thread(target=self._client_loop, args=(conn,),
-                                 daemon=True)
-            t.start()
-            self._threads.append(t)
+            # daemon client threads exit on _stop within the socket
+            # timeout; not tracked (one Thread per connection would
+            # accumulate for the server's lifetime)
+            threading.Thread(target=self._client_loop, args=(conn,),
+                             daemon=True).start()
 
     def _client_loop(self, conn: socket.socket) -> None:
         conn.settimeout(0.2)
@@ -126,7 +132,12 @@ class CaptionServer:
                         self._handle_line(line, conn, send_lock)
 
     def _handle_line(self, line: bytes, conn, send_lock) -> None:
+        sent = []
+
         def reply(obj):
+            if sent:   # exactly one reply per request line, even if the
+                return  # batch loop's last-resort handler fires late
+            sent.append(True)
             data = (json.dumps(obj) + "\n").encode()
             with send_lock:
                 try:
@@ -137,7 +148,7 @@ class CaptionServer:
         try:
             req = json.loads(line)
         except json.JSONDecodeError:
-            self.stats["errors"] += 1
+            self._count("errors")
             reply({"error": "malformed JSON"})
             return
         if req.get("cmd") == "shutdown":
@@ -149,10 +160,10 @@ class CaptionServer:
                 time.monotonic() - self._t_start, 1)})
             return
         if "path" not in req:
-            self.stats["errors"] += 1
+            self._count("errors")
             reply({"id": req.get("id"), "error": "missing 'path'"})
             return
-        self.stats["requests"] += 1
+        self._count("requests")
         self._requests.put((req, reply))
 
     # -- device side ---------------------------------------------------------
@@ -179,62 +190,94 @@ class CaptionServer:
     def _bucket(self, n: int) -> int:
         """Smallest quantum * power-of-two >= n (capped): bounds the number
         of compiled shapes; the quantum (mesh data-axis size, default 1)
-        keeps every bucket divisible over the mesh."""
+        keeps every bucket — including the cap — divisible over the mesh."""
         q = self._bucket_quantum
         b = q
         while b < n:
             b *= 2
-        cap = max(self._max_batch, q)
-        return min(b, cap)
+        cap = ((max(self._max_batch, 1) + q - 1) // q) * q
+        return min(b, max(cap, ((n + q - 1) // q) * q))
 
-    def _batch_loop(self) -> None:
-        import numpy as np
-
+    def _load_images(self, batch):
+        """Load every request's image; returns (imgs, live) with failures
+        already answered. Uses the C++ thread-pool batch loader when the
+        native decode tier is on (SAT_NATIVE_PREPROC=1), per-row PIL
+        fallback otherwise/for rejected rows — mirroring
+        CaptionDataset.load_image_batch."""
         from sat_tpu.data.transforms import load_and_preprocess_image
 
+        imgs = [None] * len(batch)
+        if os.environ.get("SAT_NATIVE_PREPROC") == "1":
+            from sat_tpu.data import native
+            if native.decode_support():
+                loaded, status = native.load_images(
+                    [req["path"] for req, _ in batch], self._image_size)
+                if loaded is not None:
+                    for i, st in enumerate(status):
+                        if st == native.OK:
+                            imgs[i] = loaded[i]
+        out_imgs, live = [], []
+        for i, (req, reply) in enumerate(batch):
+            if imgs[i] is None:
+                try:
+                    imgs[i] = load_and_preprocess_image(
+                        req["path"], self._image_size)
+                except Exception as e:
+                    self._count("errors")
+                    reply({"id": req.get("id"), "error": f"load failed: {e}"})
+                    continue
+            out_imgs.append(imgs[i])
+            live.append((req, reply))
+        return out_imgs, live
+
+    def _run_batch(self, batch) -> None:
+        import numpy as np
+
+        imgs, live = self._load_images(batch)
+        if not live:
+            return
+        n = len(live)
+        bucket = self._bucket(n)
+        arr = np.stack(imgs + [imgs[-1]] * (bucket - n)).astype(np.float32)
+        if self._put_batch is not None:
+            arr = self._put_batch(arr)
+        try:
+            out = self._caption_fn(arr)
+            # D2H only what responses need (skips the (B,51,L) alphas)
+            out = {k: np.asarray(out[k])
+                   for k in ("tokens", "length", "score", "found")}
+        except Exception as e:
+            self._count("errors", n)
+            for req, reply in live:
+                reply({"id": req.get("id"), "error": f"decode failed: {e}"})
+            return
+        self._count("batches")
+        for i, (req, reply) in enumerate(live):
+            try:
+                words = self._decode_tokens(out["tokens"][i],
+                                            int(out["length"][i]),
+                                            bool(out["found"][i]))
+                reply({"id": req.get("id"),
+                       "caption": " ".join(words),
+                       "score": float(out["score"][i]),
+                       "completed": bool(out["found"][i])})
+            except Exception as e:   # one bad row must not kill the loop
+                self._count("errors")
+                reply({"id": req.get("id"), "error": f"postproc: {e}"})
+
+    def _batch_loop(self) -> None:
         while not self._stop.is_set():
             batch = self._gather_batch()
             if not batch:
                 continue
-            imgs, live = [], []
-            for req, reply in batch:
-                try:
-                    imgs.append(load_and_preprocess_image(
-                        req["path"], self._image_size))
-                    live.append((req, reply))
-                except Exception as e:
-                    self.stats["errors"] += 1
-                    reply({"id": req.get("id"), "error": f"load failed: {e}"})
-            if not live:
-                continue
-            n = len(live)
-            bucket = self._bucket(n)
-            arr = np.stack(imgs + [imgs[-1]] * (bucket - n)).astype(np.float32)
-            if self._put_batch is not None:
-                arr = self._put_batch(arr)
             try:
-                out = self._caption_fn(arr)
-                # D2H only what responses need (skips the (B,51,L) alphas)
-                out = {k: np.asarray(out[k])
-                       for k in ("tokens", "length", "score", "found")}
+                self._run_batch(batch)
             except Exception as e:
-                self.stats["errors"] += n
-                for req, reply in live:
-                    reply({"id": req.get("id"), "error": f"decode failed: {e}"})
-                continue
-            self.stats["batches"] += 1
-            for i, (req, reply) in enumerate(live):
-                try:
-                    words = self._decode_tokens(out["tokens"][i],
-                                                int(out["length"][i]),
-                                                bool(out["found"][i]))
-                    reply({"id": req.get("id"),
-                           "caption": " ".join(words),
-                           "score": float(out["score"][i]),
-                           "completed": bool(out["found"][i])})
-                except Exception as e:   # one bad row must not kill the loop
-                    self.stats["errors"] += 1
-                    reply({"id": req.get("id"), "error": f"postproc: {e}"})
+                # The batch consumer must never die: answer everyone still
+                # waiting and keep serving.
+                self._count("errors", len(batch))
+                for req, reply in batch:
+                    reply({"id": req.get("id"), "error": f"server error: {e}"})
 
 
 def build_server(args) -> CaptionServer:
