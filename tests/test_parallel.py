@@ -263,6 +263,31 @@ def test_sharded_bank_matches_replicated():
     np.testing.assert_allclose(results[False][1], results[True][1], atol=1e-6)
 
 
+def test_beam_search_under_tensor_parallel_sharding():
+    """Serving under TP: beam search with the embedding and output heads
+    sharded on the model axis (4x2 mesh) returns the same captions as the
+    replicated layout — XLA inserts the vocab-dim collectives for the
+    logits/top-k; no user-side communication code."""
+    from sat_tpu.models.beam import beam_search_batched
+
+    mesh, cfg, _, dec_tp = _setup(4, 2)
+    _, _, _, dec_rep = _setup(8, 1)
+    feats = np.random.default_rng(3).normal(size=(8, 196, 512)) \
+        .astype(np.float32)
+
+    run = jax.jit(lambda p, f: beam_search_batched(p, cfg, f, beam_size=3,
+                                                   max_steps=12))
+    res_tp = run(dec_tp, jax.device_put(feats, batch_sharding(mesh)))
+    res_rep = run(dec_rep, feats)
+
+    np.testing.assert_array_equal(np.asarray(res_tp.tokens),
+                                  np.asarray(res_rep.tokens))
+    np.testing.assert_array_equal(np.asarray(res_tp.length),
+                                  np.asarray(res_rep.length))
+    np.testing.assert_allclose(np.asarray(res_tp.score),
+                               np.asarray(res_rep.score), rtol=1e-5)
+
+
 def test_elastic_resume_across_mesh_sizes(tmp_path):
     """Fault-tolerance + elasticity: a checkpoint written by a 1-device run
     resumes onto the full 8-device mesh (Orbax restore re-places leaves
