@@ -142,6 +142,23 @@ def test_stats_command(served):
     assert stats["batches"] >= 1 and stats["uptime_s"] >= 0
 
 
+def test_load_tool_against_server(served):
+    """tools/load_test.py drives the daemon with concurrent closed-loop
+    clients and reports throughput + latency percentiles."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        from load_test import run_load
+    finally:
+        sys.path.pop(0)
+    server, port, paths, _ = served
+    report = run_load("127.0.0.1", port, paths, n_requests=12, concurrency=3)
+    assert report["errors"] == 0
+    assert report["requests"] == 12
+    assert report["req_per_sec"] > 0
+    assert report["p50_ms"] > 0 and report["p99_ms"] >= report["p50_ms"]
+
+
 def test_mesh_server_matches_single_device(served, tmp_path):
     """--mesh-data serving over the 8-device CPU mesh: same captions as the
     single-device server for the same model (buckets pad to the mesh)."""

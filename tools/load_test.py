@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Load generator for serve.py: concurrent closed-loop clients, one
+connection each, reporting throughput and latency percentiles.
+
+    python tools/load_test.py --port 8765 --images data/imgs \
+        --requests 256 --concurrency 16
+
+Prints one JSON line:
+  {"requests": N, "errors": E, "seconds": S, "req_per_sec": R,
+   "p50_ms": ..., "p95_ms": ..., "p99_ms": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import threading
+import time
+
+
+def run_load(host: str, port: int, paths: list, n_requests: int,
+             concurrency: int, timeout_s: float = 120.0) -> dict:
+    latencies: list[float] = []
+    errors = [0]
+    lock = threading.Lock()
+    counter = iter(range(n_requests))
+    counter_lock = threading.Lock()
+
+    def worker(wid: int):
+        try:
+            sock = socket.create_connection((host, port), timeout=timeout_s)
+            f = sock.makefile("rwb")
+        except OSError:
+            with lock:
+                errors[0] += 1
+            return
+        while True:
+            with counter_lock:
+                i = next(counter, None)
+            if i is None:
+                break
+            req = {"id": f"w{wid}-{i}", "path": paths[i % len(paths)]}
+            t0 = time.perf_counter()
+            try:
+                f.write((json.dumps(req) + "\n").encode())
+                f.flush()
+                resp = json.loads(f.readline())
+                dt = time.perf_counter() - t0
+                with lock:
+                    if "error" in resp:
+                        errors[0] += 1
+                    else:
+                        latencies.append(dt)
+            except Exception:
+                with lock:
+                    errors[0] += 1
+        sock.close()
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    latencies.sort()
+
+    def pct(p):
+        if not latencies:
+            return None
+        return round(latencies[min(len(latencies) - 1,
+                                   int(p * len(latencies)))] * 1e3, 2)
+
+    return {"requests": n_requests, "errors": errors[0],
+            "seconds": round(wall, 3),
+            "req_per_sec": round(len(latencies) / wall, 2) if wall else 0,
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="serve.py load generator")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, required=True)
+    parser.add_argument("--images", type=str, required=True,
+                        help="image file, or directory scanned for "
+                             "jpg/jpeg/png files")
+    parser.add_argument("--requests", type=int, default=256)
+    parser.add_argument("--concurrency", type=int, default=16)
+    args = parser.parse_args()
+
+    if os.path.isdir(args.images):
+        paths = sorted(
+            os.path.join(args.images, f) for f in os.listdir(args.images)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    else:
+        paths = [args.images]
+    if not paths:
+        raise SystemExit(f"no images found under {args.images}")
+
+    print(json.dumps(run_load(args.host, args.port, paths, args.requests,
+                              args.concurrency)))
+
+
+if __name__ == "__main__":
+    main()
