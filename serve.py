@@ -43,7 +43,7 @@ class CaptionServer:
     def __init__(self, caption_fn, image_size: int, decode_tokens,
                  max_batch: int = 32, batch_window_ms: float = 5.0,
                  host: str = "127.0.0.1", port: int = 0, put_batch=None,
-                 bucket_quantum: int = 1):
+                 bucket_quantum: int = 1, request_ttl_s: float = 60.0):
         self._caption_fn = caption_fn     # (B,S,S,3) f32 -> dict of arrays
         self._put_batch = put_batch       # optional: place batch on a mesh
         self._bucket_quantum = max(1, bucket_quantum)
@@ -51,6 +51,7 @@ class CaptionServer:
         self._decode_tokens = decode_tokens   # token row -> list of words
         self._max_batch = max(1, max_batch)
         self._window_s = batch_window_ms / 1e3
+        self._ttl_s = request_ttl_s
         self._host, self._port = host, port
         self._requests: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -58,7 +59,7 @@ class CaptionServer:
         self._sock: socket.socket | None = None
         self._t_start = time.monotonic()
         self._stats_lock = threading.Lock()
-        self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        self.stats = {"requests": 0, "batches": 0, "errors": 0, "expired": 0}
 
     def _count(self, key: str, n: int = 1) -> None:
         with self._stats_lock:   # += on a dict int is not atomic
@@ -164,15 +165,28 @@ class CaptionServer:
             reply({"id": req.get("id"), "error": "missing 'path'"})
             return
         self._count("requests")
-        self._requests.put((req, reply))
+        self._requests.put((req, reply, time.monotonic()))
 
     # -- device side ---------------------------------------------------------
+
+    def _take(self, timeout):
+        """Pop one queued request, expiring entries older than the TTL
+        (their clients have long timed out — a device stall, e.g. a tunnel
+        outage mid-compile, otherwise makes the server burn batches on
+        abandoned work for minutes after recovery)."""
+        while True:
+            req, reply, t = self._requests.get(timeout=timeout)
+            if self._ttl_s and time.monotonic() - t > self._ttl_s:
+                self._count("expired")
+                reply({"id": req.get("id"), "error": "expired in queue"})
+                continue
+            return req, reply
 
     def _gather_batch(self):
         """Block for the first request, then coalesce stragglers for up to
         the batching window (or until the batch is full)."""
         try:
-            first = self._requests.get(timeout=0.2)
+            first = self._take(timeout=0.2)
         except queue.Empty:
             return []
         batch = [first]
@@ -182,7 +196,7 @@ class CaptionServer:
             if remaining <= 0:
                 break
             try:
-                batch.append(self._requests.get(timeout=remaining))
+                batch.append(self._take(timeout=remaining))
             except queue.Empty:
                 break
         return batch
@@ -331,7 +345,8 @@ def build_server(args) -> CaptionServer:
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
                          host=args.host, port=args.port,
-                         put_batch=put_batch, bucket_quantum=bucket_quantum)
+                         put_batch=put_batch, bucket_quantum=bucket_quantum,
+                         request_ttl_s=getattr(args, "request_ttl_s", 60.0))
 
 
 def main():
@@ -351,6 +366,9 @@ def main():
                         help="data-parallel serving over this many devices "
                              "(0 = all); batch buckets stay divisible by "
                              "the mesh")
+    parser.add_argument("--request-ttl-s", type=float, default=60.0,
+                        help="drop queued requests older than this (their "
+                             "clients have timed out); 0 disables")
     args = parser.parse_args()
 
     server = build_server(args)

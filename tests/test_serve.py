@@ -185,6 +185,36 @@ def test_mesh_server_matches_single_device(served, tmp_path):
         server.stop()
 
 
+def test_request_ttl_expires_stale_queue_entries():
+    """Requests queued longer than the TTL are answered with an error and
+    never reach the device (their clients have long timed out)."""
+    import serve as serve_mod
+
+    calls = []
+
+    def fake_fn(arr):
+        calls.append(arr.shape[0])
+        n = arr.shape[0]
+        return {"tokens": np.zeros((n, 52), np.int32),
+                "length": np.zeros((n,), np.int32),
+                "score": np.zeros((n,), np.float32),
+                "found": np.ones((n,), bool)}
+
+    server = serve_mod.CaptionServer(fake_fn, 8, lambda t, l, f: ["ok"],
+                                     max_batch=4, batch_window_ms=1.0,
+                                     request_ttl_s=0.05)
+    # enqueue directly with a stale timestamp (no started socket needed)
+    import time as _time
+    answered = []
+    server._requests.put(({"id": "old"}, lambda o: answered.append(o),
+                          _time.monotonic() - 1.0))
+    batch = server._gather_batch()
+    assert batch == []
+    assert answered and "error" in answered[0]
+    assert server.stats["expired"] == 1
+    assert calls == []
+
+
 def test_shutdown_command(tmp_path):
     """A dedicated tiny server so shutdown doesn't kill the shared fixture."""
     # reuse the served fixture's model via a fresh instance is heavy; build
