@@ -114,3 +114,35 @@ def test_bert_beam_stop_ids():
     assert bool(res.found)
     assert tokens[0] == 101          # starts from [CLS]
     assert tokens[-1] == 0           # terminated by the bert stop id
+
+
+def test_evaluate_cli(tmp_path, monkeypatch, capsys):
+    """evaluate.py: full val pass from a saved checkpoint, no training."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from tests._synth import build_synth_dataset
+    from sat_tpu.config import Config
+    from sat_tpu.data import generate_json_data
+    from sat_tpu.engine.loop import Trainer
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    build_synth_dataset(root, n_train=2, n_val=3, n_test=2, caps_per_img=2,
+                        image_size=32)
+    generate_json_data(f"{root}/dataset.json", root, 2, 1, 8)
+    cfg = Config(data=root, network="vgg19", image_size=32, batch_size=4,
+                 epochs=0, tf=True, attention=True, log_interval=1,
+                 checkpoint_dir=str(tmp_path / "model"), perform_test=False)
+    Trainer(cfg).save_epoch(1)
+
+    import evaluate
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--model", str(tmp_path / "model" / "model_vgg19_1.npz"),
+        "--split", "val"])
+    evaluate.main()
+    out = capsys.readouterr().out
+    assert "VALIDATION Batch: [0/" in out.replace("EvalMode.", "")
+    assert "BLEU-1" in out
