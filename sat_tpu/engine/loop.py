@@ -164,6 +164,7 @@ class Trainer:
         self._host_step = 0   # mirrors state.step without device syncs
         self.start_epoch = 1
         self._preempt_requested = False
+        self._replicate_out = None   # lazy jitted reshard (see _host_read)
         self._resume_batch_offset = 0
         if cfg.resume:
             step = ckpt.latest_train_state_step(cfg.checkpoint_dir)
@@ -403,6 +404,21 @@ class Trainer:
         return self.train_step(self.state, self.enc_params, d_inputs,
                                d_captions, jnp.float32(lr), rng, d_mask)
 
+    def _host_read(self, arr) -> np.ndarray:
+        """np.asarray for per-row step outputs (argmax tokens, alphas). On
+        multi-process runs those come back batch-sharded across hosts — not
+        fully addressable, so a plain np.asarray raises. Resharding to
+        replicated through a jitted identity makes XLA emit the cross-host
+        all-gather over the mesh; single-process reads stay a plain
+        conversion."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        if self._replicate_out is None:
+            from sat_tpu.parallel import replicated
+            self._replicate_out = jax.jit(
+                lambda x: x, out_shardings=replicated(self.mesh))
+        return np.asarray(self._replicate_out(arr))
+
     def _run_eval_step(self, split, imgs, captions, idxs):
         if self.use_bank:
             img_idx, row_idx, mask = self._put_indices(split, idxs)
@@ -517,7 +533,7 @@ class Trainer:
             top1.update(float(metrics["acc1"]), n)
             top5.update(float(metrics["acc5"]), n)
 
-            pred_tokens = np.asarray(pred_tokens)[:n_real]
+            pred_tokens = self._host_read(pred_tokens)[:n_real]
             batch_captions = self._decode(captions.tolist())
             batch_hypotheses = self._decode(pred_tokens.tolist())
             decoded_hypotheses.extend(batch_hypotheses)
@@ -536,7 +552,7 @@ class Trainer:
             if mode == EvalMode.TEST and viz_count < 50:
                 from sat_tpu.utils.viz import save_attention_plot
                 os.makedirs(viz_dir, exist_ok=True)
-                alphas_np = np.asarray(alphas)
+                alphas_np = self._host_read(alphas)
                 for img_idx in range(len(imgs)):
                     if viz_count >= 50:
                         break

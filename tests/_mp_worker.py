@@ -54,6 +54,27 @@ def main():
               f"{float(metrics['acc1']):.5f} {float(metrics['acc5']):.5f} "
               f"{int(metrics['caption_length'])}", flush=True)
 
+        # Eval path over the same process_count>1 assembly: metrics are
+        # global means (must match exactly); argmax tokens come back
+        # batch-sharded, so _host_read's replicated reshard (XLA cross-host
+        # all-gather) is what this exercises. Each host prints
+        # (dataset_row -> token row) pairs for ITS stripe of the global
+        # batch; the parent compares the union against single-process.
+        v_imgs, v_caps, _, v_idxs = next(iter(tr.val_loader.epoch(0)))
+        ev_metrics, pred_tokens, _ = tr._run_eval_step("val", v_imgs, v_caps,
+                                                       v_idxs)
+        toks = tr._host_read(pred_tokens)
+        local_n = len(v_idxs)
+        offset = jax.process_index() * local_n   # host h owns global rows
+        pairs = ";".join(                        # [h*local_n:(h+1)*local_n]
+            f"{int(v_idxs[k])}:" + "|".join(str(t) for t in
+                                            toks[offset + k].tolist())
+            for k in range(local_n))
+        print(f"{tag}_EVAL {float(ev_metrics['loss']):.6f} "
+              f"{float(ev_metrics['acc1']):.5f} "
+              f"{int(ev_metrics['caption_length'])} PAIRS {pairs}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

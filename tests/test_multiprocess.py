@@ -43,6 +43,14 @@ def _parse(output: str) -> dict:
         if line.startswith(("IMGPATH_METRICS", "BANK_METRICS")):
             tag, *vals = line.split()
             out[tag] = [float(v) for v in vals]
+        elif line.startswith(("IMGPATH_EVAL", "BANK_EVAL")):
+            tag, loss, acc1, caplen, _marker, pairs = line.split()
+            rows = {}
+            for pair in pairs.split(";"):
+                idx, toks = pair.split(":")
+                rows[int(idx)] = toks
+            out[tag] = {"metrics": [float(loss), float(acc1), int(caplen)],
+                        "rows": rows}
     return out
 
 
@@ -72,12 +80,29 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert single.returncode == 0, single.stdout[-3000:]
 
     ref = _parse(single.stdout)
-    assert set(ref) == {"IMGPATH_METRICS", "BANK_METRICS"}
+    assert set(ref) == {"IMGPATH_METRICS", "BANK_METRICS",
+                        "IMGPATH_EVAL", "BANK_EVAL"}
     for out in outs:
         got = _parse(out)
         assert set(got) == set(ref), out[-3000:]
-        for tag in ref:
+        for tag in ("IMGPATH_METRICS", "BANK_METRICS"):
             # loss/acc means are row-order invariant up to float summation
             np.testing.assert_allclose(got[tag][:3], ref[tag][:3], rtol=2e-4,
                                        err_msg=tag)
             assert got[tag][3] == ref[tag][3], tag  # caption_length exact
+        for tag in ("IMGPATH_EVAL", "BANK_EVAL"):
+            np.testing.assert_allclose(got[tag]["metrics"][:2],
+                                       ref[tag]["metrics"][:2], rtol=2e-4,
+                                       err_msg=tag)
+            assert got[tag]["metrics"][2] == ref[tag]["metrics"][2], tag
+            # each host's stripe of argmax tokens must match the
+            # single-process rows for the same dataset indices exactly
+            for idx, toks in got[tag]["rows"].items():
+                assert toks == ref[tag]["rows"][idx], (tag, idx)
+
+    # the two hosts' stripes together must cover the whole single batch
+    for tag in ("IMGPATH_EVAL", "BANK_EVAL"):
+        covered = set()
+        for out in outs:
+            covered |= set(_parse(out)[tag]["rows"])
+        assert covered == set(ref[tag]["rows"]), tag
