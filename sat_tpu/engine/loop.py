@@ -419,6 +419,19 @@ class Trainer:
                 lambda x: x, out_shardings=replicated(self.mesh))
         return np.asarray(self._replicate_out(arr))
 
+    def _host_rows(self, arr: np.ndarray, n_real: int) -> np.ndarray:
+        """This host's real rows of a gathered global-batch output: the
+        global batch lays hosts out contiguously (host h owns rows
+        [h*local : (h+1)*local], asserted row-for-row by the 2-process
+        test), and the trailing local rows may be _pad_batch padding.
+        Per-row eval artifacts (decoded hypotheses, BLEU, viz) therefore
+        cover each host's own stripe; epoch metrics remain global means."""
+        if jax.process_count() == 1:
+            return arr[:n_real]
+        local = arr.shape[0] // jax.process_count()
+        off = jax.process_index() * local
+        return arr[off:off + n_real]
+
     def _run_eval_step(self, split, imgs, captions, idxs):
         if self.use_bank:
             img_idx, row_idx, mask = self._put_indices(split, idxs)
@@ -533,7 +546,7 @@ class Trainer:
             top1.update(float(metrics["acc1"]), n)
             top5.update(float(metrics["acc5"]), n)
 
-            pred_tokens = self._host_read(pred_tokens)[:n_real]
+            pred_tokens = self._host_rows(self._host_read(pred_tokens), n_real)
             batch_captions = self._decode(captions.tolist())
             batch_hypotheses = self._decode(pred_tokens.tolist())
             decoded_hypotheses.extend(batch_hypotheses)
@@ -552,7 +565,7 @@ class Trainer:
             if mode == EvalMode.TEST and viz_count < 50:
                 from sat_tpu.utils.viz import save_attention_plot
                 os.makedirs(viz_dir, exist_ok=True)
-                alphas_np = self._host_read(alphas)
+                alphas_np = self._host_rows(self._host_read(alphas), n_real)
                 for img_idx in range(len(imgs)):
                     if viz_count >= 50:
                         break

@@ -75,6 +75,12 @@ def main():
               f"{int(ev_metrics['caption_length'])} PAIRS {pairs}",
               flush=True)
 
+        # Full run_evaluation: exercises _host_read + _host_rows (stripe
+        # slicing of gathered tokens) end-to-end, incl. decode/BLEU over
+        # this host's stripe. Global loss must match single-process.
+        result = tr.validate(0)
+        print(f"{tag}_VAL {result['loss']:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

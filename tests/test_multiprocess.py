@@ -43,6 +43,9 @@ def _parse(output: str) -> dict:
         if line.startswith(("IMGPATH_METRICS", "BANK_METRICS")):
             tag, *vals = line.split()
             out[tag] = [float(v) for v in vals]
+        elif line.startswith(("IMGPATH_VAL", "BANK_VAL")):
+            tag, loss = line.split()
+            out[tag] = float(loss)
         elif line.startswith(("IMGPATH_EVAL", "BANK_EVAL")):
             tag, loss, acc1, caplen, _marker, pairs = line.split()
             rows = {}
@@ -81,7 +84,8 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     ref = _parse(single.stdout)
     assert set(ref) == {"IMGPATH_METRICS", "BANK_METRICS",
-                        "IMGPATH_EVAL", "BANK_EVAL"}
+                        "IMGPATH_EVAL", "BANK_EVAL",
+                        "IMGPATH_VAL", "BANK_VAL"}
     for out in outs:
         got = _parse(out)
         assert set(got) == set(ref), out[-3000:]
@@ -99,6 +103,10 @@ def test_two_process_training_matches_single_process(tmp_path):
             # single-process rows for the same dataset indices exactly
             for idx, toks in got[tag]["rows"].items():
                 assert toks == ref[tag]["rows"][idx], (tag, idx)
+        for tag in ("IMGPATH_VAL", "BANK_VAL"):
+            # full run_evaluation epoch loss (global mean) matches
+            np.testing.assert_allclose(got[tag], ref[tag], rtol=2e-4,
+                                       err_msg=tag)
 
     # the two hosts' stripes together must cover the whole single batch
     for tag in ("IMGPATH_EVAL", "BANK_EVAL"):
