@@ -1,5 +1,13 @@
 # sat_tpu developer targets
-.PHONY: test test-fast bench native demo smoke
+.PHONY: test test-fast bench native demo smoke serve loadtest
+
+# captioning daemon (set MODEL=path/to/model.npz)
+serve:
+	python serve.py --model $(MODEL) --port 8765
+
+# load generator against a running daemon (set IMAGES=dir)
+loadtest:
+	python tools/load_test.py --port 8765 --images $(IMAGES)
 
 test:
 	python -m pytest tests/ -q
