@@ -17,19 +17,34 @@ import numpy as np
 
 def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                      beam_size: int, fast_topk: bool = False,
-                     bf16: bool = False):
-    """Closure: images (B, S, S, 3) -> BeamResult arrays, params baked in.
+                     bf16: bool = False, decode: str = "beam"):
+    """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes
     (sat_tpu.models.beam.beam_search_batched) — for deployments that trade
-    token-exact reference parity for ~1.36x decode throughput."""
-    from sat_tpu.models.beam import beam_search_batched
+    token-exact reference parity for ~1.36x decode throughput.
+    `decode="greedy"` swaps in the argmax fast path (beam=1 semantics
+    without top-k machinery); the result dict keeps the same keys — greedy
+    rows always report found=True with the start token prepended so
+    downstream token extraction matches the beam layout."""
+    from sat_tpu.models.beam import beam_search_batched, greedy_caption
     from sat_tpu.models.encoder import encoder_forward
 
     def caption(images):
         feats = encoder_forward(enc_params, network, images,
                                 jnp.bfloat16 if bf16 else None)
-        res = beam_search_batched(dec_params, dcfg, feats.astype(jnp.float32),
+        feats = feats.astype(jnp.float32)
+        if decode == "greedy":
+            tokens, lengths, alphas = greedy_caption(dec_params, dcfg, feats,
+                                                     with_alphas=True)
+            B = tokens.shape[0]
+            start = jnp.full((B, 1), dcfg.start_token, tokens.dtype)
+            return {"tokens": jnp.concatenate([start, tokens], axis=1),
+                    "length": lengths.astype(jnp.int32) + 1,
+                    "score": jnp.zeros((B,), jnp.float32),
+                    "found": jnp.ones((B,), bool),
+                    "alphas": alphas}
+        res = beam_search_batched(dec_params, dcfg, feats,
                                   beam_size, fast_topk=fast_topk, bf16=bf16)
         return {"tokens": res.tokens, "length": res.length,
                 "score": res.score, "found": res.found,

@@ -330,7 +330,8 @@ def build_server(args) -> CaptionServer:
 
     fn = jax.jit(build_caption_fn(cfg.network, dcfg, enc_params, dec_params,
                                   args.beam_size, fast_topk=args.fast_topk,
-                                  bf16=args.bf16_decode))
+                                  bf16=args.bf16_decode,
+                                  decode=getattr(args, "decode", "beam")))
     token_dict = build_token_dict(word_dict) if word_dict else None
 
     def decode_tokens(tokens, length, found):
@@ -356,6 +357,9 @@ def main():
     parser.add_argument("--encoder-weights", type=str, default=None)
     parser.add_argument("--bert-vocab", type=str, default=None)
     parser.add_argument("--beam-size", type=int, default=5)
+    parser.add_argument("--decode", choices=["beam", "greedy"],
+                        default="beam",
+                        help="decoding strategy (greedy = argmax fast path)")
     parser.add_argument("--fast-topk", action="store_true", default=False)
     parser.add_argument("--bf16-decode", action="store_true", default=False)
     parser.add_argument("--host", type=str, default="127.0.0.1")

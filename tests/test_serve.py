@@ -185,6 +185,45 @@ def test_mesh_server_matches_single_device(served, tmp_path):
         server.stop()
 
 
+def test_greedy_server_matches_library_greedy(served):
+    """--decode greedy daemon: captions equal the library greedy path."""
+    import argparse
+
+    import jax
+    import serve as serve_mod
+    from generate_caption import load_model
+    from sat_tpu.data.transforms import load_and_preprocess_image
+    from sat_tpu.engine.evaluate import build_token_dict, decode_caption
+    from sat_tpu.models.beam import greedy_caption
+    from sat_tpu.models.encoder import encoder_forward
+
+    server1, _, paths, _ = served
+    args = argparse.Namespace(
+        model=server1._model_path, model_config=None, encoder_weights=None,
+        bert_vocab=None, beam_size=5, decode="greedy", fast_topk=False,
+        bf16_decode=False, host="127.0.0.1", port=0, max_batch=4,
+        batch_window_ms=5.0)
+    server = serve_mod.build_server(args)
+    server.start()
+    try:
+        s, f = _client(server.port)
+        resp = _ask(f, {"id": "g0", "path": paths[0]})
+        s.close()
+    finally:
+        server.stop()
+
+    cfg, dcfg, enc_p, dec_p, word_dict, _ = load_model(args.model)
+    img = load_and_preprocess_image(paths[0], 32)[None]
+    toks, length = greedy_caption(
+        dec_p, dcfg, encoder_forward(enc_p, "vgg19", img.astype(np.float32)))
+    n_incl = min(int(length[0]) + 1, toks.shape[1])
+    tokens = [dcfg.start_token] + np.asarray(toks)[0][:n_incl].tolist()
+    token_dict = build_token_dict(word_dict)
+    expected = " ".join(decode_caption(tokens, word_dict, token_dict))
+    assert resp["caption"] == expected
+    assert resp["completed"] is True
+
+
 def test_request_ttl_expires_stale_queue_entries():
     """Requests queued longer than the TTL are answered with an error and
     never reach the device (their clients have long timed out)."""
