@@ -58,12 +58,13 @@ def export_caption_artifact(path: str, network: str, dcfg, enc_params,
                             beam_size: int,
                             platforms: tuple[str, ...] | None = None,
                             fast_topk: bool = False,
-                            bf16: bool = False) -> None:
+                            bf16: bool = False,
+                            decode: str = "beam") -> None:
     """Serialize the caption program for `batch_size` images to `path`."""
     from jax import export as jexport
 
     fn = build_caption_fn(network, dcfg, enc_params, dec_params, beam_size,
-                          fast_topk=fast_topk, bf16=bf16)
+                          fast_topk=fast_topk, bf16=bf16, decode=decode)
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3),
                                 jnp.float32)
     exported = jexport.export(jax.jit(fn),

@@ -47,3 +47,23 @@ def test_export_fast_modes_roundtrip(tmp_path):
     served = load_caption_artifact(path)(imgs)
     np.testing.assert_array_equal(np.asarray(live["tokens"]),
                                   np.asarray(served["tokens"]))
+
+
+def test_export_greedy_roundtrip(tmp_path):
+    """Greedy artifact: same export/reload contract as beam."""
+    dcfg = DecoderConfig(vocab_size=30, encoder_dim=512, use_attention=True)
+    enc = init_encoder_params(jax.random.PRNGKey(0), "vgg19")
+    dec = init_decoder_params(jax.random.PRNGKey(1), dcfg)
+    path = str(tmp_path / "caption_greedy.stablehlo")
+    export_caption_artifact(path, "vgg19", dcfg, enc, dec,
+                            batch_size=2, image_size=32, beam_size=1,
+                            decode="greedy")
+    imgs = np.random.default_rng(0).normal(size=(2, 32, 32, 3)) \
+        .astype(np.float32)
+    live = build_caption_fn("vgg19", dcfg, enc, dec, 1, decode="greedy")(imgs)
+    served = load_caption_artifact(path)(imgs)
+    np.testing.assert_array_equal(np.asarray(live["tokens"]),
+                                  np.asarray(served["tokens"]))
+    np.testing.assert_array_equal(np.asarray(live["length"]),
+                                  np.asarray(served["length"]))
+    assert np.asarray(served["found"]).all()
