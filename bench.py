@@ -267,12 +267,23 @@ def main():
         print(f"fast-mode bench failed ({e})", file=sys.stderr)
     signal.alarm(200)
     try:
-        train_rows, train_flops, mfu = measure_train()
-        if train_rows is not None:
-            line["train_rows_per_sec"] = round(train_rows, 1)
-        if train_flops is not None:
-            line["train_step_flops"] = train_flops
-            line["train_mfu_pct"] = round(mfu, 2)
+        # Plausibility gate: in some tunnel phases the two slope samples
+        # come back RT-dominated and near-equal, making the differenced
+        # device time absurdly small (observed once: 706k rows/s, "191%
+        # MFU"). True numbers are ~10-16k rows/s, ~3% MFU; retry once and
+        # drop the fields rather than record impossible values.
+        for attempt in range(2):
+            train_rows, train_flops, mfu = measure_train()
+            plausible = (train_rows is not None and train_rows < 100_000
+                         and (mfu is None or mfu < 60))
+            if plausible:
+                line["train_rows_per_sec"] = round(train_rows, 1)
+                if train_flops is not None:
+                    line["train_step_flops"] = train_flops
+                    line["train_mfu_pct"] = round(mfu, 2)
+                break
+            print(f"implausible train measurement discarded "
+                  f"(rows/s={train_rows}, mfu={mfu})", file=sys.stderr)
     except Exception as e:
         print(f"train bench failed ({e})", file=sys.stderr)
     signal.alarm(150)
