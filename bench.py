@@ -256,7 +256,14 @@ def main():
 
     signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(420)
-    tpu_cps = measure_tpu()
+    # Upper plausibility gate (same slope-glitch mode as the train/latency
+    # gates below): e2e cannot exceed the ~12k decode-only ceiling.
+    for attempt in range(2):
+        tpu_cps = measure_tpu()
+        if tpu_cps <= 20_000:
+            break
+        print(f"implausible serving measurement discarded ({tpu_cps})",
+              file=sys.stderr)
     line["value"] = round(tpu_cps, 2)
     signal.alarm(250)
     try:
@@ -288,7 +295,15 @@ def main():
         print(f"train bench failed ({e})", file=sys.stderr)
     signal.alarm(150)
     try:
-        line["single_image_latency_ms"] = round(measure_latency(), 3)
+        # Same plausibility gate as the train bench (true value ~1.4-1.9ms;
+        # one glitched run reported 0.075ms).
+        for attempt in range(2):
+            lat = measure_latency()
+            if 0.5 <= lat <= 100.0:
+                line["single_image_latency_ms"] = round(lat, 3)
+                break
+            print(f"implausible latency discarded ({lat} ms)",
+                  file=sys.stderr)
     except Exception as e:
         print(f"latency bench failed ({e})", file=sys.stderr)
     signal.alarm(0)
