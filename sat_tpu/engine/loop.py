@@ -546,11 +546,33 @@ class Trainer:
             top1.update(float(metrics["acc1"]), n)
             top5.update(float(metrics["acc5"]), n)
 
-            pred_tokens = self._host_rows(self._host_read(pred_tokens), n_real)
-            batch_captions = self._decode(captions.tolist())
-            batch_hypotheses = self._decode(pred_tokens.tolist())
+            # Multi-host: hypotheses/references become GLOBAL so corpus
+            # BLEU and the predictions table match a single-host run
+            # exactly. Predictions are already global after _host_read's
+            # all-gather (real rows sliced per host stripe and re-joined in
+            # host order); host-local captions gather over DCN/ICI via
+            # process_allgather (striping gives every host equal n_real).
+            toks_g = self._host_read(pred_tokens)
+            H = jax.process_count()
+            if H > 1:
+                local_padded = toks_g.shape[0] // H
+                pred_rows = np.concatenate(
+                    [toks_g[h * local_padded:h * local_padded + n_real]
+                     for h in range(H)])
+                my_off = jax.process_index() * n_real
+                from jax.experimental import multihost_utils
+                captions_g = np.asarray(multihost_utils.process_allgather(
+                    np.asarray(captions), tiled=True))
+                all_caps_g = np.asarray(multihost_utils.process_allgather(
+                    np.asarray(all_captions), tiled=True))
+            else:
+                pred_rows = toks_g[:n_real]
+                my_off = 0
+                captions_g, all_caps_g = captions, all_captions
+            batch_captions = self._decode(captions_g.tolist())
+            batch_hypotheses = self._decode(pred_rows.tolist())
             decoded_hypotheses.extend(batch_hypotheses)
-            for cap_set in all_captions.tolist():
+            for cap_set in all_caps_g.tolist():
                 decoded_all_captions.append(self._decode(cap_set))
 
             if batch_idx % cfg.log_interval == 0:
@@ -569,7 +591,9 @@ class Trainer:
                 for img_idx in range(len(imgs)):
                     if viz_count >= 50:
                         break
-                    words = batch_hypotheses[img_idx]
+                    # imgs/alphas are this host's stripe; the decoded lists
+                    # are global — offset into this host's rows.
+                    words = batch_hypotheses[my_off + img_idx]
                     if len(words) == 0:
                         print(f"No caption for image {img_idx}, skipping "
                               f"attention visualization")
@@ -578,7 +602,8 @@ class Trainer:
                     save_attention_plot(
                         png, denormalize(imgs[img_idx]), words,
                         alphas_np[img_idx], cfg.grid_side,
-                        reference_caption=" ".join(batch_captions[img_idx]))
+                        reference_caption=" ".join(
+                            batch_captions[my_off + img_idx]))
                     # Reference logs the visualization pairs through W&B
                     # (train.py:317, 431-433); route through the metric
                     # backend in addition to the on-disk PNG.

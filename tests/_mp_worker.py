@@ -79,7 +79,8 @@ def main():
         # slicing of gathered tokens) end-to-end, incl. decode/BLEU over
         # this host's stripe. Global loss must match single-process.
         result = tr.validate(0)
-        print(f"{tag}_VAL {result['loss']:.6f}", flush=True)
+        print(f"{tag}_VAL {result['loss']:.6f} {result['bleu1']:.6f}",
+              flush=True)
 
 
 if __name__ == "__main__":

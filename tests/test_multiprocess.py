@@ -44,8 +44,8 @@ def _parse(output: str) -> dict:
             tag, *vals = line.split()
             out[tag] = [float(v) for v in vals]
         elif line.startswith(("IMGPATH_VAL", "BANK_VAL")):
-            tag, loss = line.split()
-            out[tag] = float(loss)
+            tag, loss, bleu1 = line.split()
+            out[tag] = [float(loss), float(bleu1)]
         elif line.startswith(("IMGPATH_EVAL", "BANK_EVAL")):
             tag, loss, acc1, caplen, _marker, pairs = line.split()
             rows = {}
@@ -104,7 +104,8 @@ def test_two_process_training_matches_single_process(tmp_path):
             for idx, toks in got[tag]["rows"].items():
                 assert toks == ref[tag]["rows"][idx], (tag, idx)
         for tag in ("IMGPATH_VAL", "BANK_VAL"):
-            # full run_evaluation epoch loss (global mean) matches
+            # full run_evaluation: global epoch loss AND global corpus
+            # BLEU-1 (hypotheses/references are gathered across hosts)
             np.testing.assert_allclose(got[tag], ref[tag], rtol=2e-4,
                                        err_msg=tag)
 
