@@ -257,19 +257,33 @@ def main():
     signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(420)
     # Upper plausibility gate (same slope-glitch mode as the train/latency
-    # gates below): e2e cannot exceed the ~12k decode-only ceiling.
+    # gates below): e2e cannot exceed the ~12k decode-only ceiling. If both
+    # attempts glitch, leave the honest zero + error rather than record an
+    # impossible headline (which would also poison vs_baseline).
+    tpu_cps = None
     for attempt in range(2):
-        tpu_cps = measure_tpu()
-        if tpu_cps <= 20_000:
+        cps = measure_tpu()
+        if cps <= 20_000:
+            tpu_cps = cps
             break
-        print(f"implausible serving measurement discarded ({tpu_cps})",
+        print(f"implausible serving measurement discarded ({cps})",
               file=sys.stderr)
+    if tpu_cps is None:
+        line["error"] = "serving measurement implausible in this phase"
+        print(json.dumps(line))
+        return
     line["value"] = round(tpu_cps, 2)
     signal.alarm(250)
     try:
         # Opt-in fast serving mode (bf16 + approx top-k): same CLI surface,
-        # relaxed numerics — reported alongside the parity headline.
-        line["fast_mode_captions_per_sec"] = round(measure_tpu(fast_mode=True), 2)
+        # relaxed numerics — reported alongside the parity headline; same
+        # plausibility gate.
+        fast_cps = measure_tpu(fast_mode=True)
+        if fast_cps <= 20_000:
+            line["fast_mode_captions_per_sec"] = round(fast_cps, 2)
+        else:
+            print(f"implausible fast-mode measurement discarded ({fast_cps})",
+                  file=sys.stderr)
     except Exception as e:
         print(f"fast-mode bench failed ({e})", file=sys.stderr)
     signal.alarm(200)

@@ -432,6 +432,18 @@ class Trainer:
         off = jax.process_index() * local
         return arr[off:off + n_real]
 
+    def _host_local_rows(self, arr, n_real: int) -> np.ndarray:
+        """This host's real rows of a batch-sharded output WITHOUT any
+        collective: they are exactly the host's addressable shards. Safe
+        inside host-divergent control flow (e.g. the viz-budget branch),
+        where a collective gather like _host_read would deadlock the
+        moment one host stops participating."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)[:n_real]
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])[:n_real]
+
     def _run_eval_step(self, split, imgs, captions, idxs):
         if self.use_bank:
             img_idx, row_idx, mask = self._put_indices(split, idxs)
@@ -587,7 +599,9 @@ class Trainer:
             if mode == EvalMode.TEST and viz_count < 50:
                 from sat_tpu.utils.viz import save_attention_plot
                 os.makedirs(viz_dir, exist_ok=True)
-                alphas_np = self._host_rows(self._host_read(alphas), n_real)
+                # collective-free (viz_count diverges across hosts — a
+                # gather here would deadlock once one host hits the budget)
+                alphas_np = self._host_local_rows(alphas, n_real)
                 for img_idx in range(len(imgs)):
                     if viz_count >= 50:
                         break
@@ -598,7 +612,14 @@ class Trainer:
                         print(f"No caption for image {img_idx}, skipping "
                               f"attention visualization")
                         break
-                    png = os.path.join(viz_dir, f"b{batch_idx}_i{img_idx}.png")
+                    # Host prefix keeps multi-host runs from overwriting
+                    # each other's plots on a shared checkpoint dir (each
+                    # host visualizes its own image stripe); single-host
+                    # names stay reference-shaped.
+                    tag = (f"p{jax.process_index()}_b{batch_idx}_i{img_idx}"
+                           if jax.process_count() > 1
+                           else f"b{batch_idx}_i{img_idx}")
+                    png = os.path.join(viz_dir, f"{tag}.png")
                     save_attention_plot(
                         png, denormalize(imgs[img_idx]), words,
                         alphas_np[img_idx], cfg.grid_side,
@@ -608,7 +629,7 @@ class Trainer:
                     # (train.py:317, 431-433); route through the metric
                     # backend in addition to the on-disk PNG.
                     self.logger.log_image(
-                        f"attention_viz/e{epoch}_b{batch_idx}_i{img_idx}",
+                        f"attention_viz/e{epoch}_{tag}",
                         png, caption=" ".join(words))
                     viz_count += 1
 

@@ -24,9 +24,11 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
     (sat_tpu.models.beam.beam_search_batched) — for deployments that trade
     token-exact reference parity for ~1.36x decode throughput.
     `decode="greedy"` swaps in the argmax fast path (beam=1 semantics
-    without top-k machinery); the result dict keeps the same keys — greedy
-    rows always report found=True with the start token prepended so
-    downstream token extraction matches the beam layout."""
+    without top-k machinery); the result dict keeps the same keys — the
+    start token is prepended so token extraction matches the beam layout,
+    and found reports the honest completion bit (a stop token was emitted
+    within max_steps). Unlike beam's not-found rows, truncated greedy rows
+    still carry their (truncated) tokens."""
     from sat_tpu.models.beam import beam_search_batched, greedy_caption
     from sat_tpu.models.encoder import encoder_forward
 
@@ -37,12 +39,13 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
         if decode == "greedy":
             tokens, lengths, alphas = greedy_caption(dec_params, dcfg, feats,
                                                      with_alphas=True)
-            B = tokens.shape[0]
+            B, max_steps = tokens.shape
             start = jnp.full((B, 1), dcfg.start_token, tokens.dtype)
             return {"tokens": jnp.concatenate([start, tokens], axis=1),
-                    "length": lengths.astype(jnp.int32) + 1,
+                    "length": jnp.minimum(lengths, max_steps - 1)
+                              .astype(jnp.int32) + 1,
                     "score": jnp.zeros((B,), jnp.float32),
-                    "found": jnp.ones((B,), bool),
+                    "found": lengths < max_steps,
                     "alphas": alphas}
         res = beam_search_batched(dec_params, dcfg, feats,
                                   beam_size, fast_topk=fast_topk, bf16=bf16)

@@ -169,13 +169,18 @@ class CaptionServer:
 
     # -- device side ---------------------------------------------------------
 
-    def _take(self, timeout):
-        """Pop one queued request, expiring entries older than the TTL
-        (their clients have long timed out — a device stall, e.g. a tunnel
-        outage mid-compile, otherwise makes the server burn batches on
-        abandoned work for minutes after recovery)."""
+    def _take(self, deadline):
+        """Pop one queued request before `deadline`, expiring entries older
+        than the TTL (their clients have long timed out — a device stall,
+        e.g. a tunnel outage mid-compile, otherwise makes the server burn
+        batches on abandoned work for minutes after recovery). Takes a
+        deadline, not a timeout: each expired entry must not re-extend the
+        wait."""
         while True:
-            req, reply, t = self._requests.get(timeout=timeout)
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise queue.Empty
+            req, reply, t = self._requests.get(timeout=remaining)
             if self._ttl_s and time.monotonic() - t > self._ttl_s:
                 self._count("expired")
                 reply({"id": req.get("id"), "error": "expired in queue"})
@@ -186,17 +191,14 @@ class CaptionServer:
         """Block for the first request, then coalesce stragglers for up to
         the batching window (or until the batch is full)."""
         try:
-            first = self._take(timeout=0.2)
+            first = self._take(time.monotonic() + 0.2)
         except queue.Empty:
             return []
         batch = [first]
         deadline = time.monotonic() + self._window_s
         while len(batch) < self._max_batch:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
             try:
-                batch.append(self._take(timeout=remaining))
+                batch.append(self._take(deadline))
             except queue.Empty:
                 break
         return batch
@@ -334,10 +336,17 @@ def build_server(args) -> CaptionServer:
                                   decode=getattr(args, "decode", "beam")))
     token_dict = build_token_dict(word_dict) if word_dict else None
 
+    decode_mode = getattr(args, "decode", "beam")
+
     def decode_tokens(tokens, length, found):
-        # Reference fallback semantics (decoder.py:256-258 via
-        # beam.extract_caption): no completed sentence -> token [0].
-        row = tokens[:length + 1].tolist() if found else [0]
+        # Beam keeps the reference fallback semantics (decoder.py:256-258
+        # via beam.extract_caption): no completed sentence -> token [0].
+        # Greedy rows carry their (possibly truncated) tokens either way;
+        # `found` still reaches the client as `completed`.
+        if decode_mode == "beam" and not found:
+            row = [0]
+        else:
+            row = tokens[:length + 1].tolist()
         if cfg.bert:
             return decode_caption_bert(row, tokenizer)
         return decode_caption(row, word_dict, token_dict)

@@ -63,12 +63,13 @@ def main():
         v_imgs, v_caps, _, v_idxs = next(iter(tr.val_loader.epoch(0)))
         ev_metrics, pred_tokens, _ = tr._run_eval_step("val", v_imgs, v_caps,
                                                        v_idxs)
-        toks = tr._host_read(pred_tokens)
         local_n = len(v_idxs)
-        offset = jax.process_index() * local_n   # host h owns global rows
-        pairs = ";".join(                        # [h*local_n:(h+1)*local_n]
+        # _host_rows slices by the PADDED stripe width (offset by local_n
+        # alone would land on another host's _pad_batch padding rows).
+        mine = tr._host_rows(tr._host_read(pred_tokens), local_n)
+        pairs = ";".join(
             f"{int(v_idxs[k])}:" + "|".join(str(t) for t in
-                                            toks[offset + k].tolist())
+                                            mine[k].tolist())
             for k in range(local_n))
         print(f"{tag}_EVAL {float(ev_metrics['loss']):.6f} "
               f"{float(ev_metrics['acc1']):.5f} "

@@ -221,7 +221,7 @@ def test_greedy_server_matches_library_greedy(served):
     token_dict = build_token_dict(word_dict)
     expected = " ".join(decode_caption(tokens, word_dict, token_dict))
     assert resp["caption"] == expected
-    assert resp["completed"] is True
+    assert resp["completed"] is (int(length[0]) < toks.shape[1])
 
 
 def test_request_ttl_expires_stale_queue_entries():

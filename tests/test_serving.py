@@ -66,4 +66,5 @@ def test_export_greedy_roundtrip(tmp_path):
                                   np.asarray(served["tokens"]))
     np.testing.assert_array_equal(np.asarray(live["length"]),
                                   np.asarray(served["length"]))
-    assert np.asarray(served["found"]).all()
+    np.testing.assert_array_equal(np.asarray(live["found"]),
+                                  np.asarray(served["found"]))
