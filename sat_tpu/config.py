@@ -112,6 +112,11 @@ class Config:
                                    # halves bank residency + gather traffic
                                    # (features are cast back to f32 after
                                    # the per-step gather)
+    image_cache_gb: float = 8.0    # host-RAM budget for the decoded-image
+                                   # cache (cap-and-stop; Flickr8k f32 is
+                                   # ~4.8 GB and fits, COCO ~68 GB does not
+                                   # — use --cache-features there); 0
+                                   # disables caching entirely
 
     @property
     def encoder_dim(self) -> int:
@@ -250,6 +255,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="HBM feature-bank storage dtype; bfloat16 "
                              "halves bank residency and gather traffic "
                              "(default float32 = exact numerics)")
+    parser.add_argument("--image-cache-gb", type=float, default=8.0,
+                        help="host-RAM budget for the decoded-image cache "
+                             "(cap-and-stop; 0 disables caching — for "
+                             "COCO-scale data prefer --cache-features)")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help=".npz with ported pretrained encoder params")
     parser.add_argument("--log-jsonl", type=str, default=None,

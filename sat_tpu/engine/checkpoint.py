@@ -155,3 +155,22 @@ def restore_train_state(checkpoint_dir: str, step: int, template):
     wait_for_saves()
     path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
     return _checkpointer().restore(path, template)
+
+
+def train_state_has_key(checkpoint_dir: str, step: int, key: str) -> bool:
+    """Probe a saved train-state checkpoint's tree for a top-level key
+    WITHOUT restoring it. Lets the resume path distinguish a legacy
+    checkpoint layout (pre mid-epoch-preemption, no 'batch_offset') from a
+    transient restore failure — blanket retry-with-legacy-template would
+    silently zero a genuine mid-epoch offset (ADVICE r2)."""
+    wait_for_saves()
+    path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
+    try:
+        meta = _checkpointer().metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        return key in tree
+    except Exception:
+        # Metadata unreadable (very old orbax layout): report the key absent
+        # so the caller uses the legacy template — matches pre-probe behavior.
+        return False

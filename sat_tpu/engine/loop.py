@@ -170,12 +170,20 @@ class Trainer:
             step = ckpt.latest_train_state_step(cfg.checkpoint_dir)
             if step is not None:
                 print(f"Resuming from checkpoint step {step}")
-                tmpl = {"state": self.state, "epoch": 0, "batch_offset": 0}
-                try:
+                # Probe the checkpoint layout instead of try/except-Exception
+                # fallback: a transient restore failure on a genuine
+                # mid-epoch checkpoint must surface, not silently retry with
+                # the legacy template and zero the batch offset (ADVICE r2).
+                if ckpt.train_state_has_key(cfg.checkpoint_dir, step,
+                                            "batch_offset"):
+                    tmpl = {"state": self.state, "epoch": 0,
+                            "batch_offset": 0}
                     restored = ckpt.restore_train_state(cfg.checkpoint_dir,
                                                         step, tmpl)
-                except Exception:
+                else:
                     # checkpoint from before mid-epoch preemption support
+                    print("Legacy train-state checkpoint (no batch_offset); "
+                          "resuming at the next epoch boundary")
                     restored = ckpt.restore_train_state(
                         cfg.checkpoint_dir, step,
                         {"state": self.state, "epoch": 0})
@@ -219,8 +227,11 @@ class Trainer:
 
         def make_loader(split, load_images):
             ds = CaptionDataset(cfg.data, split, cfg.fraction, cfg.bert,
-                                cache_images=cache_imgs,
-                                image_size=cfg.image_size)
+                                cache_images=cache_imgs
+                                and cfg.image_cache_gb > 0,
+                                image_size=cfg.image_size,
+                                cache_budget_bytes=int(
+                                    cfg.image_cache_gb * (1 << 30)))
             loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
                                  seed=cfg.seed, shard_index=shard_index,
                                  shard_count=shard_count, with_indices=True,
@@ -463,6 +474,22 @@ class Trainer:
         installs, or programmatically)."""
         self._preempt_requested = True
 
+    def _preempt_coordinated(self) -> bool:
+        """Whether to checkpoint-and-stop at this step boundary, agreed by
+        ALL hosts. The mid-epoch Orbax save of mesh-sharded state is a
+        cross-process collective, and preemption signals land on hosts at
+        different times (or on only one) — a host-local flag would have
+        processes enter the save at different batch indices, deadlocking or
+        writing an inconsistent checkpoint (ADVICE r2). Global-OR the local
+        flag at each step boundary; single-process runs skip the collective
+        entirely."""
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._preempt_requested))
+        return bool(np.asarray(flags).any())
+
     def train_epoch(self, epoch: int) -> None:
         print(f"Epoch {epoch} - Starting train")
         cfg = self.cfg
@@ -516,7 +543,7 @@ class Trainer:
                     "train", imgs, captions, idxs, lr, rng)
             self._host_step += 1
 
-            if self._preempt_requested:
+            if self._preempt_coordinated():
                 while pending:
                     finish(*pending.popleft())
                 self._save_train_state(epoch, batch_offset=batch_idx + 1)

@@ -83,6 +83,32 @@ def main():
         print(f"{tag}_VAL {result['loss']:.6f} {result['bleu1']:.6f}",
               flush=True)
 
+    if mode == "multi":
+        # Coordinated preemption (ADVICE r2 medium): deliver the preempt
+        # request to process 0 ONLY. _preempt_coordinated must global-OR the
+        # flag so BOTH processes enter the (collective) mid-epoch Orbax save
+        # at the same batch index — an uncoordinated flag deadlocks here.
+        from sat_tpu.engine import checkpoint as ckpt
+        from sat_tpu.engine.loop import TrainingPreempted
+        cfg = Config(data=data_root, network="vgg19", image_size=32,
+                     batch_size=local_bs, epochs=1, tf=True, attention=True,
+                     log_interval=100, perform_test=False,
+                     checkpoint_dir=data_root + "/ckpt_preempt",
+                     cache_features=True)
+        tr = Trainer(cfg)
+        if jax.process_index() == 0:
+            tr.request_preempt()
+        try:
+            tr.train_epoch(1)
+            print("PREEMPT_NONE", flush=True)
+        except TrainingPreempted:
+            step = ckpt.latest_train_state_step(cfg.checkpoint_dir)
+            restored = ckpt.restore_train_state(
+                cfg.checkpoint_dir, step,
+                {"state": tr.state, "epoch": 0, "batch_offset": 0})
+            print(f"PREEMPT_OFFSET {int(restored['epoch'])} "
+                  f"{int(restored['batch_offset'])}", flush=True)
+
 
 if __name__ == "__main__":
     main()

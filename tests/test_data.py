@@ -191,3 +191,35 @@ def test_coco_layout_subfolders_and_restval(tmp_path):
     ds = CaptionDataset(root, "train", image_size=32)
     imgs, caps, all_caps = next(iter(BatchLoader(ds, 4, shuffle=False)))
     assert imgs.shape == (4, 32, 32, 3) and np.isfinite(imgs).all()
+
+
+def test_image_cache_byte_budget(prepped):
+    """Cap-and-stop decoded-image cache (VERDICT r2 weak #5): the cache
+    stops growing at the byte budget and un-cached rows still load
+    correctly — no eager whole-dataset residency at COCO scale."""
+    ds_full = CaptionDataset(prepped, "train", cache_images=False,
+                             image_size=32)
+    one = ds_full.load_image(0).nbytes
+    budget = 2 * one
+    ds = CaptionDataset(prepped, "train", cache_images=True, image_size=32,
+                        cache_budget_bytes=budget)
+    n = len(ds)
+    assert n > 2
+    for _ in range(2):                       # two epochs of access
+        for i in range(n):
+            np.testing.assert_array_equal(ds.load_image(i),
+                                          ds_full.load_image(i))
+    assert ds._cache_bytes <= budget
+    assert len(ds._cache) == 2
+    # batch path respects the budget too
+    batch = ds.load_image_batch(list(range(n)))
+    assert ds._cache_bytes <= budget
+    for i in range(n):
+        np.testing.assert_array_equal(batch[i], ds_full.load_image(i))
+
+
+def test_image_cache_unbounded_by_default(prepped):
+    ds = CaptionDataset(prepped, "train", cache_images=True, image_size=32)
+    for i in range(len(ds)):
+        ds.load_image(i)
+    assert len(ds._cache) == len(set(ds.img_paths))

@@ -115,3 +115,18 @@ def test_two_process_training_matches_single_process(tmp_path):
         for out in outs:
             covered |= set(_parse(out)[tag]["rows"])
         assert covered == set(ref[tag]["rows"]), tag
+
+    # coordinated preemption: the signal went to process 0 only; BOTH
+    # processes must have checkpointed at the SAME batch offset (the save
+    # is a cross-process collective — an uncoordinated flag deadlocks or
+    # diverges) and neither may have finished the epoch
+    offsets = []
+    for out in outs:
+        lines = [l for l in out.splitlines()
+                 if l.startswith("PREEMPT_OFFSET")]
+        assert lines, "process did not reach the coordinated preempt save:\n" \
+            + out[-3000:]
+        _, epoch, offset = lines[0].split()
+        offsets.append((int(epoch), int(offset)))
+    assert offsets[0] == offsets[1], offsets
+    assert offsets[0][0] == 1 and offsets[0][1] >= 1, offsets

@@ -90,6 +90,32 @@ def test_preempt_and_exact_resume(data_root, tmp_path):
     assert tb3._resume_batch_offset == 0
 
 
+def test_legacy_checkpoint_probe_and_resume(data_root, tmp_path):
+    """Checkpoints from before mid-epoch-preemption support lack
+    'batch_offset'. The resume path must detect that by PROBING the saved
+    tree (ckpt.train_state_has_key), not by a blanket exception fallback
+    that could silently zero a genuine mid-epoch offset (ADVICE r2)."""
+    from sat_tpu.engine import checkpoint as ckpt
+    from sat_tpu.engine.loop import Trainer
+
+    tr = Trainer(make_cfg(data_root, tmp_path / "legacy"))
+    tr.fit()
+    step = int(tr.state.step)
+    # modern layout carries the key...
+    assert ckpt.train_state_has_key(str(tmp_path / "legacy"), step,
+                                    "batch_offset")
+    # ...now overwrite with a legacy-layout checkpoint at a later step
+    ckpt.save_train_state(str(tmp_path / "legacy"), step + 1,
+                          {"state": tr.state, "epoch": 1}, blocking=True)
+    assert not ckpt.train_state_has_key(str(tmp_path / "legacy"), step + 1,
+                                        "batch_offset")
+
+    tr2 = Trainer(make_cfg(data_root, tmp_path / "legacy", epochs=2,
+                           resume=True))
+    assert tr2.start_epoch == 2            # epoch 1 counted as completed
+    assert tr2._resume_batch_offset == 0
+
+
 def test_signal_handler_requests_preempt(data_root, tmp_path):
     from sat_tpu.engine.loop import Trainer
 
