@@ -132,7 +132,8 @@ def main():
         if args.decode == "beam":
             return beam_search_batched(d, dcfg, feats, args.beam_size,
                                        fast_topk=args.fast_topk,
-                                       bf16=args.bf16_decode)
+                                       bf16=args.bf16_decode,
+                                       mesh_data=max(pad_to, 1))
         if args.decode == "greedy":
             return greedy_caption(d, dcfg, feats)
         return sample_caption(d, dcfg, feats, r,

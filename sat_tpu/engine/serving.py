@@ -17,7 +17,8 @@ import numpy as np
 
 def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                      beam_size: int, fast_topk: bool = False,
-                     bf16: bool = False, decode: str = "beam"):
+                     bf16: bool = False, decode: str = "beam",
+                     mesh_data: int = 1):
     """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes
@@ -48,7 +49,8 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                     "found": lengths < max_steps,
                     "alphas": alphas}
         res = beam_search_batched(dec_params, dcfg, feats,
-                                  beam_size, fast_topk=fast_topk, bf16=bf16)
+                                  beam_size, fast_topk=fast_topk, bf16=bf16,
+                                  mesh_data=mesh_data)
         return {"tokens": res.tokens, "length": res.length,
                 "score": res.score, "found": res.found,
                 "alphas": res.alphas}

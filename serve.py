@@ -157,7 +157,9 @@ class CaptionServer:
             self._stop.set()
             return
         if req.get("cmd") == "stats":
-            reply({**self.stats, "uptime_s": round(
+            with self._stats_lock:   # consistent snapshot vs the batch loop
+                snapshot = dict(self.stats)
+            reply({**snapshot, "uptime_s": round(
                 time.monotonic() - self._t_start, 1)})
             return
         if "path" not in req:
@@ -333,7 +335,8 @@ def build_server(args) -> CaptionServer:
     fn = jax.jit(build_caption_fn(cfg.network, dcfg, enc_params, dec_params,
                                   args.beam_size, fast_topk=args.fast_topk,
                                   bf16=args.bf16_decode,
-                                  decode=getattr(args, "decode", "beam")))
+                                  decode=getattr(args, "decode", "beam"),
+                                  mesh_data=bucket_quantum))
     token_dict = build_token_dict(word_dict) if word_dict else None
 
     decode_mode = getattr(args, "decode", "beam")
