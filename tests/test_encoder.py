@@ -252,3 +252,28 @@ def test_bf16_compute_path():
     assert bf16.dtype == np.float32  # grid returned in f32
     rel = np.abs(np.asarray(bf16) - np.asarray(f32)).mean() / (np.abs(np.asarray(f32)).mean() + 1e-8)
     assert rel < 0.1
+
+
+def test_s2d_conv1_equivalence():
+    """Space-to-depth first conv (serving MXU-utilization lever,
+    _conv1_s2d_kernel): identical annotation grid up to f32 summation
+    order, full VGG19 stack at 64px."""
+    import jax
+    params = init_encoder_params(jax.random.PRNGKey(7), "vgg19")
+    x = np.random.default_rng(8).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    base = np.asarray(encoder_forward(params, "vgg19", x))
+    s2d = np.asarray(encoder_forward(params, "vgg19", x, s2d_conv1=True))
+    np.testing.assert_allclose(s2d, base, atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_roundtrip_and_kernel_layout():
+    from sat_tpu.models.encoder import (
+        _conv1_s2d_kernel, conv2d, depth_to_space, space_to_depth)
+    rng = np.random.default_rng(9)
+    x = np.asarray(rng.normal(size=(2, 8, 8, 3)), np.float32)
+    assert np.array_equal(np.asarray(depth_to_space(space_to_depth(x))), x)
+    w = np.asarray(rng.normal(size=(3, 3, 3, 4)), np.float32)
+    ref = np.asarray(conv2d(x, w))
+    got = np.asarray(depth_to_space(conv2d(space_to_depth(x),
+                                           _conv1_s2d_kernel(w))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
