@@ -1,0 +1,43 @@
+"""End-to-end learnability guard (VERDICT r2 weak #4).
+
+Parity tests prove 3-step numerical equivalence with the reference; nothing
+else guards the property that the SYSTEM LEARNS — an optimizer-wiring or
+rng-stream bug that preserves short-horizon numerics would slip through.
+This trains the full pipeline (encoder features -> attention LSTM -> TF
+loss -> Adam -> beam search) on the synthetic color corpus and asserts it
+reaches near-perfect val BLEU-1 and captions held-out color images
+correctly. Mirrors the reference's end-to-end behavior (train.py:95-116).
+
+Marked slow: ~3-6 min on the 1-core CPU pod. Deselect with -m "not slow".
+"""
+
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+
+def test_system_learns_color_captioning(tmp_path):
+    sys.path.insert(0, _TOOLS)
+    try:
+        import demo_learnability
+    finally:
+        sys.path.remove(_TOOLS)
+
+    summary = demo_learnability.run(epochs=12, out_dir=str(tmp_path / "c"))
+
+    # BLEU-1 on the val split must approach 1.0 (teacher-forced argmax on a
+    # memorizable corpus); the demo reliably reaches >= 0.95 by epoch 12.
+    assert summary["final_val_bleu1"] >= 0.9, summary["history"]
+    # Free-running beam decode must name the right color on >= 7/8 held-out
+    # images — this is the generation-side learning signal.
+    assert summary["beam_color_accuracy"] >= 0.85, summary
+    # And learning must be monotone-ish: the last epoch should beat the
+    # first by a wide margin (guards "plateaued from step 0" regressions).
+    first, last = summary["history"][0][1], summary["history"][-1][1]
+    assert last > first + 0.2, summary["history"]
