@@ -190,7 +190,8 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         dedup: bool = True, fast_topk: bool = False,
                         bf16: bool = False,
                         chunk: int | None = 128,
-                        mesh_data: int = 1) -> BeamResult:
+                        mesh_data: int = 1,
+                        backtrack: bool = True) -> BeamResult:
     """Natively batched beam search: features (B, L, D) -> BeamResult with
     leading batch dim B.
 
@@ -221,6 +222,17 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     per-step (B, K, L, E) attention intermediate past a size threshold;
     measured 52.9ms -> 29.3ms for B=256 as 2x128). Images decode
     independently, so chunking is result-exact; None disables it.
+
+    `backtrack=True` (default) keeps per-step parent POINTERS and
+    reconstructs the winning token/alpha path once after the loop, instead
+    of reindexing the whole (B, K, T, L) alpha history by parent every step
+    (the reference's semantics, decoder.py:243-250, carried materially).
+    The per-step reindex is ~26MB of HBM traffic at B=64 — the largest
+    non-roofline item in the decode-step accounting; the backtracking
+    rewrite is result-exact (same candidates, same running best, same
+    tie-breaking — asserted against `backtrack=False` and `beam_search`
+    across seeds/configs). False keeps the direct-history formulation for
+    A/B benchmarking.
     """
     B = features.shape[0]
     if chunk and B > chunk:
@@ -237,7 +249,7 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             chunk = max(shard_rows, (chunk // shard_rows) * shard_rows)
         parts = [beam_search_batched(params, cfg, features[s:s + chunk],
                                      beam_size, max_steps, dedup, fast_topk,
-                                     bf16, None)
+                                     bf16, None, backtrack=backtrack)
                  for s in range(0, B, chunk)]
         return BeamResult(*(jnp.concatenate(f, axis=0)
                             for f in zip(*parts)))
@@ -276,10 +288,6 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
     T = 1 + max_steps
     init = dict(
-        sentences=jnp.full((B, K, T), cfg.start_token, jnp.int32),
-        alph_hist=jnp.concatenate(
-            [jnp.ones((B, K, 1, L), features.dtype),
-             jnp.zeros((B, K, T - 1, L), features.dtype)], axis=2),
         scores=jnp.zeros((B, K), features.dtype),
         h=h0, c=c0,
         prev=jnp.full((B, K), cfg.start_token, jnp.int32),
@@ -287,12 +295,28 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
         live_count=jnp.full((B,), K, jnp.int32),
         step=jnp.int32(1),
         best_score=jnp.full((B,), -jnp.inf, jnp.float32),
-        best_tokens=jnp.zeros((B, T), jnp.int32),
         best_len=jnp.zeros((B,), jnp.int32),
-        best_alphas=jnp.zeros((B, T, L), features.dtype),
         found=jnp.zeros((B,), bool),
         last_alpha0=jnp.zeros((B, L), features.dtype),
     )
+    if backtrack:
+        # Write-only per-step records; the winning path is rebuilt once
+        # after the loop from (best_len, best_rank) through `parents`.
+        init.update(
+            words=jnp.full((B, T, K), cfg.start_token, jnp.int32),
+            parents=jnp.zeros((B, T, K), jnp.int32),
+            alpha_steps=jnp.zeros((B, T, K, L), features.dtype),
+            best_rank=jnp.zeros((B,), jnp.int32),
+        )
+    else:
+        init.update(
+            sentences=jnp.full((B, K, T), cfg.start_token, jnp.int32),
+            alph_hist=jnp.concatenate(
+                [jnp.ones((B, K, 1, L), features.dtype),
+                 jnp.zeros((B, K, T - 1, L), features.dtype)], axis=2),
+            best_tokens=jnp.zeros((B, T), jnp.int32),
+            best_alphas=jnp.zeros((B, T, L), features.dtype),
+        )
 
     def cond(s):
         return (s["live_count"] > 0).any() & (s["step"] <= max_steps)
@@ -319,9 +343,12 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
 
         step = s["step"]
         take = lambda arr, idx: jnp.take_along_axis(arr, idx, axis=1)
-        new_sent = take(s["sentences"], parent[..., None]).at[:, :, step].set(word)
-        new_alph = take(s["alph_hist"], parent[..., None, None]).at[:, :, step, :].set(
-            take(alpha_bk, parent[..., None]))
+        if not backtrack:
+            new_sent = take(s["sentences"],
+                            parent[..., None]).at[:, :, step].set(word)
+            new_alph = take(s["alph_hist"],
+                            parent[..., None, None]).at[:, :, step, :].set(
+                take(alpha_bk, parent[..., None]))
 
         is_stop = (word == stop_a) | (word == stop_b)
         completed = valid & is_stop
@@ -341,16 +368,10 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             mask = active.reshape((B,) + (1,) * (new.ndim - 1))
             return jnp.where(mask, new, old)
 
-        def sel(arr):
-            idx = bi.reshape((B, 1) + (1,) * (arr.ndim - 2))
-            return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
-
         imp = lambda new, old: jnp.where(
             improved.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
 
-        return dict(
-            sentences=freeze(new_sent, s["sentences"]),
-            alph_hist=freeze(new_alph, s["alph_hist"]),
+        out = dict(
             scores=freeze(jnp.where(live_new, values, -jnp.inf), s["scores"]),
             h=jnp.where(active[:, None, None], h2,
                         s["h"].reshape(B, K, -1)).reshape(B * K, -1),
@@ -361,17 +382,77 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             live_count=s["live_count"] - jnp.where(active, completed.sum(axis=1), 0),
             step=step + 1,
             best_score=imp(step_best, s["best_score"]),
-            best_tokens=imp(sel(new_sent), s["best_tokens"]),
             best_len=imp(jnp.full((B,), step, jnp.int32), s["best_len"]),
-            best_alphas=imp(sel(new_alph), s["best_alphas"]),
             found=s["found"] | (active & completed.any(axis=1)),
             last_alpha0=freeze(alpha_bk[:, 0, :], s["last_alpha0"]),
         )
+        if backtrack:
+            # Plain dynamic-update-slice writes; inactive images write
+            # garbage at t > their best_len, which reconstruction masks out.
+            out.update(
+                words=s["words"].at[:, step, :].set(word),
+                parents=s["parents"].at[:, step, :].set(parent),
+                alpha_steps=s["alpha_steps"].at[:, step, :, :].set(alpha_bk),
+                best_rank=imp(bi.astype(jnp.int32), s["best_rank"]),
+            )
+        else:
+            def sel(arr):
+                idx = bi.reshape((B, 1) + (1,) * (arr.ndim - 2))
+                return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+            out.update(
+                sentences=freeze(new_sent, s["sentences"]),
+                alph_hist=freeze(new_alph, s["alph_hist"]),
+                best_tokens=imp(sel(new_sent), s["best_tokens"]),
+                best_alphas=imp(sel(new_alph), s["best_alphas"]),
+            )
+        return out
 
     final = jax.lax.while_loop(cond, body, init)
-    return BeamResult(tokens=final["best_tokens"], length=final["best_len"],
-                      alphas=final["best_alphas"], score=final["best_score"],
-                      found=final["found"], fallback_alpha=final["last_alpha0"])
+    if not backtrack:
+        return BeamResult(tokens=final["best_tokens"],
+                          length=final["best_len"],
+                          alphas=final["best_alphas"],
+                          score=final["best_score"], found=final["found"],
+                          fallback_alpha=final["last_alpha0"])
+
+    # Reconstruct the winning path once: walk parents from
+    # (best_len, best_rank) back to step 1. The alpha recorded at step t is
+    # indexed by the PRE-expansion row, i.e. the candidate's parent.
+    # Positions beyond best_len emit the start token / zero alphas,
+    # matching the direct-history formulation's padding exactly.
+    words, parents_a = final["words"], final["parents"]
+    alpha_steps = final["alpha_steps"]
+    best_len, best_rank = final["best_len"], final["best_rank"]
+
+    def step_back(r, t):
+        on = t <= best_len                                       # (B,)
+        tok = jnp.take_along_axis(words[:, t, :], r[:, None], axis=1)[:, 0]
+        par = jnp.take_along_axis(parents_a[:, t, :], r[:, None],
+                                  axis=1)[:, 0]
+        alpha = jnp.take_along_axis(alpha_steps[:, t],
+                                    par[:, None, None], axis=1)[:, 0]
+        tok_out = jnp.where(on, tok, cfg.start_token)
+        alpha_out = jnp.where(on[:, None], alpha, 0)
+        return jnp.where(on, par, r), (tok_out, alpha_out)
+
+    _, (toks, alphas) = jax.lax.scan(step_back, best_rank,
+                                     jnp.arange(1, T), reverse=True)
+    tokens = jnp.concatenate(
+        [jnp.full((B, 1), cfg.start_token, jnp.int32),
+         jnp.swapaxes(toks, 0, 1)], axis=1)
+    alphas = jnp.concatenate(
+        [jnp.ones((B, 1, L), features.dtype),
+         jnp.swapaxes(alphas, 0, 1)], axis=1)
+    # Never-completed rows are all-zero in the direct-history formulation
+    # (its running best never updates from the zeros init) — mask for
+    # array-exact agreement; extract_caption ignores these rows anyway.
+    found = final["found"]
+    tokens = jnp.where(found[:, None], tokens, 0)
+    alphas = jnp.where(found[:, None, None], alphas, 0)
+    return BeamResult(tokens=tokens, length=best_len, alphas=alphas,
+                      score=final["best_score"], found=final["found"],
+                      fallback_alpha=final["last_alpha0"])
 
 
 def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,

@@ -142,3 +142,42 @@ def test_batched_with_never_completing_image():
         t_s, _ = extract_caption(single)
         assert t_b == t_s
     del base
+
+
+@pytest.mark.parametrize("ado,beam_size,seed", [(False, 3, 21), (True, 5, 22),
+                                                (False, 1, 23)])
+def test_backtrack_equals_direct_history(ado, beam_size, seed):
+    """backtrack=True (parent-pointer reconstruction, the default) must be
+    ARRAY-identical to the direct-history formulation — tokens, lengths,
+    found bits, scores, and the full padded alpha history."""
+    cfg, params = _params(ado=ado, attention=True, seed=seed)
+    feats = np.random.default_rng(seed).normal(
+        size=(6, L, D)).astype(np.float32)
+    a = beam_search_batched(params, cfg, feats, beam_size, backtrack=True)
+    b = beam_search_batched(params, cfg, feats, beam_size, backtrack=False)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.alphas), np.asarray(b.alphas),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.fallback_alpha),
+                               np.asarray(b.fallback_alpha), atol=1e-5)
+
+
+def test_backtrack_with_blocked_stops_matches():
+    """Worst case (no image ever completes, 51 steps): the backtracking
+    path must agree with direct history on fallback semantics too."""
+    cfg, params = _params(seed=31)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params["deep_output"]["b"] = params["deep_output"]["b"].copy()
+    params["deep_output"]["b"][1] = -1e9
+    feats = np.random.default_rng(33).normal(
+        size=(3, L, D)).astype(np.float32)
+    a = beam_search_batched(params, cfg, feats, 3, backtrack=True)
+    b = beam_search_batched(params, cfg, feats, 3, backtrack=False)
+    assert not np.asarray(a.found).any()
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_allclose(np.asarray(a.fallback_alpha),
+                               np.asarray(b.fallback_alpha), atol=1e-5)
