@@ -18,7 +18,8 @@ import numpy as np
 def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                      beam_size: int, fast_topk: bool = False,
                      bf16: bool = False, decode: str = "beam",
-                     mesh_data: int = 1):
+                     mesh_data: int = 1, temperature: float = 1.0,
+                     top_k: int = 0, top_p: float = 1.0):
     """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes
@@ -29,25 +30,42 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
     start token is prepended so token extraction matches the beam layout,
     and found reports the honest completion bit (a stop token was emitted
     within max_steps). Unlike beam's not-found rows, truncated greedy rows
-    still carry their (truncated) tokens."""
-    from sat_tpu.models.beam import beam_search_batched, greedy_caption
+    still carry their (truncated) tokens. `decode="sample"` is the
+    stochastic variant (temperature / top-k / top-p); its closure takes
+    (images, rng) — the caller supplies a fresh PRNG key per batch."""
+    from sat_tpu.models.beam import (beam_search_batched, greedy_caption,
+                                     sample_caption)
     from sat_tpu.models.encoder import encoder_forward
 
-    def caption(images):
+    def encode(images):
         feats = encoder_forward(enc_params, network, images,
                                 jnp.bfloat16 if bf16 else None)
-        feats = feats.astype(jnp.float32)
+        return feats.astype(jnp.float32)
+
+    def pack_scan(tokens, lengths, alphas):
+        """greedy/sample output -> the beam result layout (start prepended)."""
+        B, max_steps = tokens.shape
+        start = jnp.full((B, 1), dcfg.start_token, tokens.dtype)
+        return {"tokens": jnp.concatenate([start, tokens], axis=1),
+                "length": jnp.minimum(lengths, max_steps - 1)
+                          .astype(jnp.int32) + 1,
+                "score": jnp.zeros((B,), jnp.float32),
+                "found": lengths < max_steps,
+                "alphas": alphas}
+
+    if decode == "sample":
+        def caption(images, rng):
+            return pack_scan(*sample_caption(
+                dec_params, dcfg, encode(images), rng,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                with_alphas=True))
+        return caption
+
+    def caption(images):
+        feats = encode(images)
         if decode == "greedy":
-            tokens, lengths, alphas = greedy_caption(dec_params, dcfg, feats,
-                                                     with_alphas=True)
-            B, max_steps = tokens.shape
-            start = jnp.full((B, 1), dcfg.start_token, tokens.dtype)
-            return {"tokens": jnp.concatenate([start, tokens], axis=1),
-                    "length": jnp.minimum(lengths, max_steps - 1)
-                              .astype(jnp.int32) + 1,
-                    "score": jnp.zeros((B,), jnp.float32),
-                    "found": lengths < max_steps,
-                    "alphas": alphas}
+            return pack_scan(*greedy_caption(dec_params, dcfg, feats,
+                                             with_alphas=True))
         res = beam_search_batched(dec_params, dcfg, feats,
                                   beam_size, fast_topk=fast_topk, bf16=bf16,
                                   mesh_data=mesh_data)

@@ -332,14 +332,24 @@ def build_server(args) -> CaptionServer:
         img_sharding = batch_sharding(mesh)
         put_batch = lambda arr: jax.device_put(arr, img_sharding)
 
-    fn = jax.jit(build_caption_fn(cfg.network, dcfg, enc_params, dec_params,
-                                  args.beam_size, fast_topk=args.fast_topk,
-                                  bf16=args.bf16_decode,
-                                  decode=getattr(args, "decode", "beam"),
-                                  mesh_data=bucket_quantum))
-    token_dict = build_token_dict(word_dict) if word_dict else None
-
     decode_mode = getattr(args, "decode", "beam")
+    fn = jax.jit(build_caption_fn(
+        cfg.network, dcfg, enc_params, dec_params,
+        args.beam_size, fast_topk=args.fast_topk,
+        bf16=args.bf16_decode, decode=decode_mode,
+        mesh_data=bucket_quantum,
+        temperature=getattr(args, "temperature", 1.0),
+        top_k=getattr(args, "top_k", 0),
+        top_p=getattr(args, "top_p", 1.0)))
+    if decode_mode == "sample":
+        # The sample closure takes (images, rng); hand the server a
+        # single-arg fn with a fresh fold of the seed per batch.
+        base_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        counter = iter(range(1 << 62))
+
+        def fn(arr, _inner=fn):
+            return _inner(arr, jax.random.fold_in(base_rng, next(counter)))
+    token_dict = build_token_dict(word_dict) if word_dict else None
 
     def decode_tokens(tokens, length, found):
         # Beam keeps the reference fallback semantics (decoder.py:256-258
@@ -369,9 +379,16 @@ def main():
     parser.add_argument("--encoder-weights", type=str, default=None)
     parser.add_argument("--bert-vocab", type=str, default=None)
     parser.add_argument("--beam-size", type=int, default=5)
-    parser.add_argument("--decode", choices=["beam", "greedy"],
+    parser.add_argument("--decode", choices=["beam", "greedy", "sample"],
                         default="beam",
-                        help="decoding strategy (greedy = argmax fast path)")
+                        help="decoding strategy (greedy = argmax fast path; "
+                             "sample = stochastic with temperature/top-k/"
+                             "top-p, fresh rng per batch)")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--top-k", type=int, default=0)
+    parser.add_argument("--top-p", type=float, default=1.0)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="base rng seed for --decode sample")
     parser.add_argument("--fast-topk", action="store_true", default=False)
     parser.add_argument("--bf16-decode", action="store_true", default=False)
     parser.add_argument("--host", type=str, default="127.0.0.1")

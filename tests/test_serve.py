@@ -277,3 +277,31 @@ def test_shutdown_command(tmp_path):
     s.close()
     server.stop()
     assert server._stop.is_set()
+
+
+def test_sample_decode_server(served):
+    """--decode sample: stochastic decoding on the server (fresh rng fold
+    per batch). Structural assertions only — sampling has no token-exact
+    contract."""
+    import argparse
+
+    import serve as serve_mod
+    server0, _, paths, _ = served
+    args = argparse.Namespace(
+        model=server0._model_path, model_config=None, encoder_weights=None,
+        bert_vocab=None, beam_size=3, fast_topk=False, bf16_decode=False,
+        host="127.0.0.1", port=0, max_batch=4, batch_window_ms=5.0,
+        decode="sample", temperature=0.7, top_k=5, top_p=0.95, seed=1)
+    srv = serve_mod.build_server(args)
+    srv.start()
+    try:
+        s, f = _client(srv.port)
+        r1 = _ask(f, {"id": "s0", "path": paths[0]})
+        r2 = _ask(f, {"id": "s1", "path": paths[0]})
+        s.close()
+        for r in (r1, r2):
+            assert "error" not in r, r
+            assert isinstance(r["caption"], str)
+            assert isinstance(r["completed"], bool)
+    finally:
+        srv.stop()
