@@ -277,3 +277,38 @@ def test_s2d_roundtrip_and_kernel_layout():
     got = np.asarray(depth_to_space(conv2d(space_to_depth(x),
                                            _conv1_s2d_kernel(w))))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_port_torchvision_tool_roundtrip(tmp_path):
+    """Drive the offline weight-porting tool itself (tools/
+    port_torchvision.py): torch-saved state_dict file -> .npz ->
+    load_encoder_npz, equal to the direct in-memory import."""
+    import os
+    import sys
+
+    import jax
+
+    model = build_torch_vgg19_features()
+    sd_path = str(tmp_path / "vgg19.pth")
+    torch.save(model.state_dict(), sd_path)
+    out = str(tmp_path / "vgg19.npz")
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        import port_torchvision
+        port_torchvision.port_encoder("vgg19", sd_path, out)
+    finally:
+        sys.path.remove(tools)
+
+    loaded = load_encoder_npz(
+        out, init_encoder_params(jax.random.PRNGKey(0), "vgg19"))
+    direct = encoder_params_from_state_dict("vgg19", model.state_dict())
+    for op in vgg19_layer_plan():
+        if op[0] == "conv":
+            name = f"conv{op[1]}"
+            np.testing.assert_array_equal(np.asarray(loaded[name]["w"]),
+                                          np.asarray(direct[name]["w"]))
+            np.testing.assert_array_equal(np.asarray(loaded[name]["b"]),
+                                          np.asarray(direct[name]["b"]))
