@@ -13,7 +13,7 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/test_engine.py \
+	python -m pytest tests/ -q -m "not slow" --ignore=tests/test_engine.py \
 	  --ignore=tests/test_encoder.py --ignore=tests/test_bert_path.py \
 	  --ignore=tests/test_feature_cache.py \
 	  --ignore=tests/test_multiprocess.py
