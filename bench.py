@@ -276,9 +276,36 @@ def measure_reference() -> float:
         return FALLBACK_REF_CAPTIONS_PER_SEC
 
 
+def _tpu_responsive(timeout_s: float = 60.0) -> bool:
+    """Probe the backend with a trivial dispatch IN A SUBPROCESS (the
+    tunneled chip sporadically wedges so hard that even jnp.ones@jnp.ones
+    blocks forever in C, where no SIGALRM handler can run — observed live
+    in round 3: a bench launched 3 minutes after successful measurements
+    hung for 22 minutes and recorded an honest zero)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
+
+    # Wedge guard: don't start measuring into a dead tunnel — probe, and if
+    # wedged give it a couple of recovery windows before proceeding (the
+    # in-run watchdogs below still bound the worst case either way).
+    for attempt in range(3):
+        if _tpu_responsive():
+            break
+        print(f"tpu backend unresponsive (probe {attempt + 1}/3); waiting",
+              file=sys.stderr)
+        time.sleep(180)
 
     # The tunneled TPU occasionally wedges for tens of minutes (even trivial
     # dispatches hang). A hung bench records nothing; emit whatever was
@@ -329,7 +356,6 @@ def main():
                   file=sys.stderr)
     except Exception as e:
         print(f"fast-mode bench failed ({e})", file=sys.stderr)
-    signal.alarm(240)
     try:
         # Plausibility gates, both sides. High side: in some tunnel phases
         # the two slope samples come back RT-dominated and near-equal,
@@ -341,6 +367,7 @@ def main():
         # the artifact never silently understates the system.
         for key, bf16, doc_rows in (("train_rows_per_sec", False, 10_000),
                                     ("train_rows_per_sec_bf16", True, 13_000)):
+            signal.alarm(200)   # fresh watchdog window per train config
             best = None
             for attempt in range(2):
                 train_rows, train_flops, mfu = measure_train(bf16)

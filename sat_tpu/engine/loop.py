@@ -671,6 +671,22 @@ class Trainer:
             n_real = captions.shape[0]
             metrics, pred_tokens, alphas = self._run_eval_step(
                 loader.split, imgs, captions, idxs)
+            # Preemption must be honored during (potentially long) eval
+            # passes too, not only in the train loop: the trained epoch is
+            # checkpointed as COMPLETE (batch_offset=0) and the run exits;
+            # --resume starts the next epoch (validation is repeatable and
+            # carries no state, so skipping its tail loses only metrics of
+            # the interrupted pass). Coordinated across hosts like the
+            # train-loop check — the epoch save is a collective.
+            if mode == EvalMode.VALIDATION and epoch >= 1 \
+                    and self._preempt_coordinated():
+                while pending:
+                    finish(*pending.popleft())
+                self.save_epoch(epoch)
+                print(f"Preempted during validation of epoch {epoch}: "
+                      f"epoch checkpointed as complete; rerun with --resume "
+                      f"to continue at epoch {epoch + 1}")
+                raise TrainingPreempted()
             pending.append((batch_idx, n_real, imgs, captions, all_captions,
                             metrics, pred_tokens, alphas))
             if len(pending) >= 2:

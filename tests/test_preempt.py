@@ -90,6 +90,33 @@ def test_preempt_and_exact_resume(data_root, tmp_path):
     assert tb3._resume_batch_offset == 0
 
 
+def test_preempt_during_validation(data_root, tmp_path):
+    """A preemption signal arriving during the (potentially long) eval pass
+    must not be ignored until validation finishes: the trained epoch is
+    checkpointed as complete and the run exits; --resume starts the next
+    epoch."""
+    from sat_tpu.engine.loop import Trainer
+
+    tr = Trainer(make_cfg(data_root, tmp_path / "ev"))
+    orig = tr.eval_step
+    calls = {"n": 0}
+
+    def wrapped(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:          # signal lands mid-validation
+            tr.request_preempt()
+        return orig(*args, **kw)
+
+    tr.eval_step = wrapped
+    result = tr.fit()
+    assert result.get("preempted") is True
+    assert calls["n"] >= 1
+
+    tr2 = Trainer(make_cfg(data_root, tmp_path / "ev", epochs=2, resume=True))
+    assert tr2.start_epoch == 2          # epoch 1 counted as completed
+    assert tr2._resume_batch_offset == 0
+
+
 def test_legacy_checkpoint_probe_and_resume(data_root, tmp_path):
     """Checkpoints from before mid-epoch-preemption support lack
     'batch_offset'. The resume path must detect that by PROBING the saved
