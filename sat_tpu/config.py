@@ -112,6 +112,10 @@ class Config:
                                    # halves bank residency + gather traffic
                                    # (features are cast back to f32 after
                                    # the per-step gather)
+    keep_checkpoints: int = 0      # keep only the newest N orbax
+                                   # train-state checkpoints (0 = keep all,
+                                   # the reference-like default); decoder
+                                   # .npz per-epoch files are never pruned
     image_cache_gb: float = 8.0    # host-RAM budget for the decoded-image
                                    # cache (cap-and-stop; Flickr8k f32 is
                                    # ~4.8 GB and fits, COCO ~68 GB does not
@@ -255,6 +259,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="HBM feature-bank storage dtype; bfloat16 "
                              "halves bank residency and gather traffic "
                              "(default float32 = exact numerics)")
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="prune orbax train-state checkpoints beyond "
+                             "the newest N (0 = keep all)")
     parser.add_argument("--image-cache-gb", type=float, default=8.0,
                         help="host-RAM budget for the decoded-image cache "
                              "(cap-and-stop; 0 disables caching — for "

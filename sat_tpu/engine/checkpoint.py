@@ -142,6 +142,28 @@ def save_train_state(checkpoint_dir: str, step: int, state_tree,
         ckptr.wait_until_finished()
 
 
+def prune_train_states(checkpoint_dir: str, keep: int) -> list[int]:
+    """Delete all but the newest `keep` committed train-state checkpoints.
+    Call BEFORE a new save, after wait_for_saves() (an in-flight async save
+    must not have its directory deleted under it — waiting here is ~free at
+    epoch cadence because the previous epoch's save committed long ago).
+    Only process 0 touches the filesystem on multi-host runs. Returns the
+    pruned step numbers."""
+    import shutil
+    if keep < 0:
+        return []
+    wait_for_saves()
+    root = os.path.join(checkpoint_dir, "orbax")
+    if not os.path.isdir(root) or jax.process_index() != 0:
+        return []
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    pruned = steps[:-keep] if 0 < keep < len(steps) else \
+        (steps if keep == 0 else [])
+    for step in pruned:
+        shutil.rmtree(os.path.join(root, str(step)), ignore_errors=True)
+    return pruned
+
+
 def latest_train_state_step(checkpoint_dir: str) -> Optional[int]:
     wait_for_saves()
     root = os.path.join(checkpoint_dir, "orbax")

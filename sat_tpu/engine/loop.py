@@ -748,7 +748,11 @@ class Trainer:
     def _save_train_state(self, epoch: int, batch_offset: int) -> None:
         """Orbax train-state save. batch_offset=0 marks `epoch` completed;
         batch_offset>0 marks a mid-epoch preemption save (that many batches
-        of `epoch` are already trained)."""
+        of `epoch` are already trained). With --keep-checkpoints N, older
+        step directories are pruned first (newest N-1 kept + this save)."""
+        if self.cfg.keep_checkpoints > 0:
+            ckpt.prune_train_states(self.cfg.checkpoint_dir,
+                                    self.cfg.keep_checkpoints - 1)
         ckpt.save_train_state(self.cfg.checkpoint_dir, int(self.state.step),
                               {"state": self.state, "epoch": epoch,
                                "batch_offset": batch_offset})

@@ -86,6 +86,12 @@ def export_caption_artifact(path: str, network: str, dcfg, enc_params,
     """Serialize the caption program for `batch_size` images to `path`."""
     from jax import export as jexport
 
+    if decode == "sample":
+        raise ValueError(
+            "decode='sample' is not exportable as a single-input artifact "
+            "(its closure takes (images, rng)); use beam or greedy for AOT "
+            "export, or serve sampling live via serve.py --decode sample")
+
     fn = build_caption_fn(network, dcfg, enc_params, dec_params, beam_size,
                           fast_topk=fast_topk, bf16=bf16, decode=decode)
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3),

@@ -159,3 +159,27 @@ def test_signal_handler_requests_preempt(data_root, tmp_path):
     assert signal.getsignal(signal.SIGUSR1) in (signal.SIG_DFL,
                                                 signal.SIG_IGN,
                                                 signal.default_int_handler)
+
+
+def test_keep_checkpoints_pruning(data_root, tmp_path):
+    """--keep-checkpoints N retains only the newest N orbax train-state
+    dirs (decoder .npz files are untouched) and resume still works."""
+    import os
+
+    from sat_tpu.engine import checkpoint as ckpt
+    from sat_tpu.engine.loop import Trainer
+
+    tr = Trainer(make_cfg(data_root, tmp_path / "gc", epochs=3,
+                          keep_checkpoints=2))
+    tr.fit()
+    root = tmp_path / "gc" / "orbax"
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    assert len(steps) == 2
+    assert ckpt.latest_train_state_step(str(tmp_path / "gc")) == steps[-1]
+    # all three per-epoch decoder .npz files survive
+    npz = [f for f in os.listdir(tmp_path / "gc") if f.endswith(".npz")]
+    assert len(npz) == 3
+
+    tr2 = Trainer(make_cfg(data_root, tmp_path / "gc", epochs=4,
+                           keep_checkpoints=2, resume=True))
+    assert tr2.start_epoch == 4
