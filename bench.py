@@ -301,7 +301,7 @@ def main():
     # wedged give it a couple of recovery windows before proceeding (the
     # in-run watchdogs below still bound the worst case either way).
     for attempt in range(3):
-        if _tpu_responsive():
+        if _tpu_responsive(timeout_s=120):   # cold start + slow phase
             break
         print(f"tpu backend unresponsive (probe {attempt + 1}/3); waiting",
               file=sys.stderr)
@@ -343,6 +343,14 @@ def main():
         print(json.dumps(line))
         return
     line["value"] = round(tpu_cps, 2)
+    # Compute the reference ratio IMMEDIATELY after the headline: it's pure
+    # host CPU (wedge-immune), and a chip wedge in any later section used
+    # to take vs_baseline down with it (observed: a round-3 run recorded a
+    # 2,851 cps headline with vs_baseline 0 because the backend died during
+    # the encoder leg, before the reference ever ran).
+    signal.alarm(0)
+    ref_cps = measure_reference()
+    line["vs_baseline"] = round(tpu_cps / ref_cps, 2)
     signal.alarm(250)
     try:
         # Opt-in fast serving mode (bf16 + approx top-k): same CLI surface,
@@ -390,6 +398,10 @@ def main():
                 line[key + "_note"] = (
                     f"below documented ~{doc_rows} rows/s device-time band "
                     f"after retry — slow tunnel phase, not the program")
+            elif train_rows > 1.8 * doc_rows:
+                line[key + "_note"] = (
+                    f"above documented ~{doc_rows} rows/s band — possible "
+                    f"RT-dominated slope glitch; treat as upper bound")
             if not bf16 and train_flops is not None:
                 line["train_step_flops"] = train_flops
                 line["train_mfu_pct"] = round(mfu, 2)
@@ -423,8 +435,6 @@ def main():
         except Exception as e:
             print(f"encoder bench failed ({net}: {e})", file=sys.stderr)
     signal.alarm(0)
-    ref_cps = measure_reference()
-    line["vs_baseline"] = round(tpu_cps / ref_cps, 2)
     print(json.dumps(line))
 
 
