@@ -41,11 +41,30 @@ import numpy as np
 from sat_tpu.data.transforms import load_and_preprocess_image
 
 
+class CacheBudget:
+    """Thread-safe byte budget SHARED across datasets: the --image-cache-gb
+    cap is one host-RAM number, so the train/val/test splits must draw from
+    a single pool (three per-dataset budgets would let actual residency
+    reach 3x the configured cap — review r3)."""
+
+    def __init__(self, total_bytes: int):
+        self.remaining = int(total_bytes)
+        self._lock = threading.Lock()
+
+    def take(self, n: int) -> bool:
+        with self._lock:
+            if self.remaining >= n:
+                self.remaining -= n
+                return True
+            return False
+
+
 class CaptionDataset:
     def __init__(self, data_path: str, split_type: str = "train",
                  fraction: float = 1.0, bert: bool = False,
                  cache_images: bool = True, image_size: int = 224,
-                 cache_budget_bytes: Optional[int] = None):
+                 cache_budget_bytes: Optional[int] = None,
+                 cache_budget: Optional[CacheBudget] = None):
         self.data_path = data_path
         self.split_type = split_type
         self.image_size = image_size
@@ -83,18 +102,28 @@ class CaptionDataset:
         # (COCO-scale guidance: use --cache-features, which drops pixels
         # entirely after the one-time encoder precompute).
         self._cache: Optional[dict] = {} if cache_images else None
-        self._cache_budget = cache_budget_bytes
+        if cache_budget is not None:
+            self._cache_budget = cache_budget
+        elif cache_budget_bytes is not None:
+            self._cache_budget = CacheBudget(cache_budget_bytes)
+        else:
+            self._cache_budget = None
         self._cache_bytes = 0
         self._cache_lock = threading.Lock()
 
     def _cache_put(self, path: str, img: np.ndarray) -> None:
-        """Insert under the byte budget; caller holds no lock."""
+        """Insert under the (possibly shared) byte budget."""
         with self._cache_lock:
             if path in self._cache:
                 return
-            if (self._cache_budget is not None
-                    and self._cache_bytes + img.nbytes > self._cache_budget):
+            if self._cache_budget is not None \
+                    and not self._cache_budget.take(img.nbytes):
                 return
+            # A row sliced out of a whole-batch decode buffer pins the
+            # entire batch allocation via .base while only its own bytes
+            # are accounted — copy to bound retention to the budget.
+            if img.base is not None:
+                img = img.copy()
             self._cache[path] = img
             self._cache_bytes += img.nbytes
 

@@ -143,12 +143,11 @@ def save_train_state(checkpoint_dir: str, step: int, state_tree,
 
 
 def prune_train_states(checkpoint_dir: str, keep: int) -> list[int]:
-    """Delete all but the newest `keep` committed train-state checkpoints.
-    Call BEFORE a new save, after wait_for_saves() (an in-flight async save
-    must not have its directory deleted under it — waiting here is ~free at
-    epoch cadence because the previous epoch's save committed long ago).
-    Only process 0 touches the filesystem on multi-host runs. Returns the
-    pruned step numbers."""
+    """Delete all but the newest `keep` train-state checkpoints. Call
+    AFTER a save; waits for the in-flight commit first so (a) the newest
+    directory is never deleted half-written and (b) with keep=1 there is
+    no instant at which zero committed checkpoints exist. Only process 0
+    touches the filesystem on multi-host runs. Returns the pruned steps."""
     import shutil
     if keep < 0:
         return []

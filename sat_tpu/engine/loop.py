@@ -225,13 +225,17 @@ class Trainer:
         cache_imgs = not cfg.cache_features
         t0 = time.time()
 
+        # ONE budget pool across train/val/test — per-dataset budgets would
+        # allow 3x the configured host-RAM cap (review r3).
+        from sat_tpu.data.dataset import CacheBudget
+        image_cache_budget = CacheBudget(int(cfg.image_cache_gb * (1 << 30)))
+
         def make_loader(split, load_images):
             ds = CaptionDataset(cfg.data, split, cfg.fraction, cfg.bert,
                                 cache_images=cache_imgs
                                 and cfg.image_cache_gb > 0,
                                 image_size=cfg.image_size,
-                                cache_budget_bytes=int(
-                                    cfg.image_cache_gb * (1 << 30)))
+                                cache_budget=image_cache_budget)
             loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
                                  seed=cfg.seed, shard_index=shard_index,
                                  shard_count=shard_count, with_indices=True,
@@ -474,17 +478,34 @@ class Trainer:
         installs, or programmatically)."""
         self._preempt_requested = True
 
-    def _preempt_coordinated(self) -> bool:
+    # Multi-host preempt polling cadence: the global-OR is a synchronous
+    # cross-process barrier the one-behind pipeline cannot hide (a per-batch
+    # host sync costs ~1-3ms over the tunnel ≈ 20% of a bank-mode step), so
+    # poll every N batches plus always on the epoch's final batch. A
+    # preemption latency of a few batches is fine — the signal already
+    # waits for a step boundary.
+    PREEMPT_SYNC_EVERY = 8
+
+    def _preempt_coordinated(self, batch_idx: int = -1,
+                             n_batches: int = 0) -> bool:
         """Whether to checkpoint-and-stop at this step boundary, agreed by
         ALL hosts. The mid-epoch Orbax save of mesh-sharded state is a
         cross-process collective, and preemption signals land on hosts at
         different times (or on only one) — a host-local flag would have
         processes enter the save at different batch indices, deadlocking or
-        writing an inconsistent checkpoint (ADVICE r2). Global-OR the local
-        flag at each step boundary; single-process runs skip the collective
-        entirely."""
+        writing an inconsistent checkpoint (ADVICE r2). Single-process runs
+        skip the collective entirely; multi-host runs global-OR the flag on
+        polling batches only (every PREEMPT_SYNC_EVERY-th and the last —
+        every host computes the same poll schedule, so the collective is
+        always collective). Returning False on non-poll batches is REQUIRED
+        for correctness: acting on the local flag alone would desynchronize
+        the hosts."""
         if jax.process_count() == 1:
             return self._preempt_requested
+        poll = (batch_idx % self.PREEMPT_SYNC_EVERY
+                == self.PREEMPT_SYNC_EVERY - 1) or batch_idx == n_batches - 1
+        if not poll:
+            return False
         from jax.experimental import multihost_utils
         flags = multihost_utils.process_allgather(
             np.asarray(self._preempt_requested))
@@ -543,7 +564,7 @@ class Trainer:
                     "train", imgs, captions, idxs, lr, rng)
             self._host_step += 1
 
-            if self._preempt_coordinated():
+            if self._preempt_coordinated(batch_idx, n_batches):
                 while pending:
                     finish(*pending.popleft())
                 self._save_train_state(epoch, batch_offset=batch_idx + 1)
@@ -678,8 +699,8 @@ class Trainer:
             # carries no state, so skipping its tail loses only metrics of
             # the interrupted pass). Coordinated across hosts like the
             # train-loop check — the epoch save is a collective.
-            if mode == EvalMode.VALIDATION and epoch >= 1 \
-                    and self._preempt_coordinated():
+            if mode == EvalMode.VALIDATION \
+                    and self._preempt_coordinated(batch_idx, n_batches):
                 while pending:
                     finish(*pending.popleft())
                 self.save_epoch(epoch)
@@ -749,13 +770,18 @@ class Trainer:
         """Orbax train-state save. batch_offset=0 marks `epoch` completed;
         batch_offset>0 marks a mid-epoch preemption save (that many batches
         of `epoch` are already trained). With --keep-checkpoints N, older
-        step directories are pruned first (newest N-1 kept + this save)."""
-        if self.cfg.keep_checkpoints > 0:
-            ckpt.prune_train_states(self.cfg.checkpoint_dir,
-                                    self.cfg.keep_checkpoints - 1)
+        step directories are pruned AFTER the new save commits — pruning
+        first would open a zero-checkpoint window: with N=1 the only
+        committed checkpoint would be deleted before its replacement
+        exists, and a kill during the grace period would lose everything
+        (review r3). The commit wait costs ~the save duration at epoch
+        cadence."""
         ckpt.save_train_state(self.cfg.checkpoint_dir, int(self.state.step),
                               {"state": self.state, "epoch": epoch,
                                "batch_offset": batch_offset})
+        if self.cfg.keep_checkpoints > 0:
+            ckpt.prune_train_states(self.cfg.checkpoint_dir,
+                                    self.cfg.keep_checkpoints)
 
     @contextmanager
     def _preempt_handlers(self):

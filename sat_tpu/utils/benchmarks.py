@@ -1,0 +1,81 @@
+"""Shared measurement scaffolding for bench.py and tools/bench_encoder.py.
+
+One home for the peak constant, host-side param init, XLA cost-analysis
+FLOPs extraction, and the encoder-variant measurement, so the two scripts
+cannot drift apart (review r3: each had its own copy of the cost_analysis
+list-vs-dict quirk handling and the v5e peak).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# bf16 peak of one TPU v5e chip (MXU). f32-path MFU is reported against
+# this — conservative (the f32-via-bf16 practical peak is lower).
+V5E_PEAK_FLOPS = 197e12
+
+
+def init_on_host(init_fn, *args):
+    """Run a param-init function on the host CPU backend. Random init is
+    dozens of small device ops; over the tunnel in a slow phase those alone
+    measured 425s (the compile itself took 12s). CPU-init + bulk transfer
+    keeps the watchdogs for actual measurement."""
+    import jax
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return init_fn(*args)
+
+
+def compiled_flops(fn, *args):
+    """FLOPs of the exact compiled program per XLA cost analysis (which
+    counts 2 per MAC), or None when the backend doesn't report them."""
+    import jax
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
+                            s2d: bool = False, precision: str | None = None,
+                            n_lo: int = 1, n_hi: int = 4, reps: int = 5):
+    """Slope-measured encoder forward: ms/batch, imgs/s, TFLOP/s, MFU.
+
+    Returns a dict (the tools/bench_encoder.py record shape). `precision`
+    is a jax.default_matmul_precision name ("highest" for the 6-pass f32
+    A/B); `s2d` routes VGG19 through the space-to-depth first conv.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
+    from sat_tpu.utils.timing import device_time
+
+    params = init_on_host(init_encoder_params, jax.random.PRNGKey(0), network)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch, 224, 224, 3)).astype(np.float32))
+
+    def fwd(x):
+        if precision:
+            with jax.default_matmul_precision(precision):
+                return encoder_forward(params, network, x, compute_dtype,
+                                       s2d_conv1=s2d)
+        return encoder_forward(params, network, x, compute_dtype,
+                               s2d_conv1=s2d)
+
+    flops = compiled_flops(lambda x: fwd(x).sum(), imgs)
+    dt = device_time(lambda x, i: x + 1e-20 * fwd(x).sum(), imgs,
+                     n_lo=n_lo, n_hi=n_hi, reps=reps)
+    out = {"network": network, "batch": batch,
+           "dtype": "bf16" if compute_dtype is not None else "f32",
+           "s2d_conv1": s2d, "precision": precision or "default",
+           "ms_per_batch": round(dt * 1e3, 3),
+           "imgs_per_sec": round(batch / dt, 1)}
+    if flops:
+        out["tflops_per_sec"] = round(flops / dt / 1e12, 2)
+        out["mfu_pct_vs_bf16_peak"] = round(
+            flops / dt / V5E_PEAK_FLOPS * 100, 1)
+    return out

@@ -350,11 +350,11 @@ def test_graft_entry_compiles():
 
 
 def test_chunked_decode_on_mesh_matches_single_device():
-    """beam_search_batched with B > chunk on a data-sharded mesh (VERDICT
-    r2 weak #6): mesh-aware chunking (`mesh_data`) snaps chunk boundaries
-    to whole per-device shards, and the tokens must equal the unchunked
-    single-device decode exactly. B=16 over 8 devices (shard rows = 2)
-    with chunk=5 exercises the snap (5 -> 4)."""
+    """beam_search_batched chunking on a data-sharded mesh (VERDICT r2
+    weak #6): the chunk threshold applies to PER-DEVICE rows (each chunk
+    spans chunk*mesh_data global rows so every device stays busy), and the
+    tokens must equal the unchunked single-device decode exactly. B=16
+    over 8 devices with chunk=1 -> two sub-programs of 8 rows."""
     from sat_tpu.models.beam import beam_search_batched
 
     mesh, cfg, _, dec_p = _setup(8, 1)
@@ -365,7 +365,7 @@ def test_chunked_decode_on_mesh_matches_single_device():
     base = beam_search_batched(dec_rep, cfg, feats, 3, max_steps=10,
                                chunk=None)
     run = jax.jit(lambda p, f: beam_search_batched(
-        p, cfg, f, 3, max_steps=10, chunk=5, mesh_data=8))
+        p, cfg, f, 3, max_steps=10, chunk=1, mesh_data=8))
     chunked = run(dec_p, jax.device_put(feats, batch_sharding(mesh)))
 
     np.testing.assert_array_equal(np.asarray(chunked.tokens),

@@ -9,11 +9,17 @@ e2e at B=64 after the round-2 beam dedup) per backbone and variant:
   densenet161  f32 / bf16
 
 For each: slope-measured device time, TFLOP/s, and MFU against the v5e bf16
-peak (FLOPs from XLA cost analysis of the exact compiled program). s2d =
-space-to-depth first conv (models/encoder.py:_conv1_s2d_kernel) — same math,
-4x MXU reduction-lane utilization on the 3-channel conv. HIGHEST = 6-pass
-f32 emulation (parity headroom A/B; DEFAULT already does bf16-multiply /
-f32-accumulate on the MXU).
+peak (FLOPs from XLA cost analysis of the exact compiled program;
+measurement lives in sat_tpu.utils.benchmarks, shared with bench.py). s2d =
+space-to-depth first conv (models/encoder.py:_conv1_s2d_kernel) — same
+math, 4x MXU reduction-lane utilization on the 3-channel conv. HIGHEST =
+6-pass f32 emulation (parity headroom A/B; DEFAULT already does
+bf16-multiply / f32-accumulate on the MXU).
+
+Round-3 measured results are recorded in docs/ARCHITECTURE.md ("Round 3:
+the encoder study"). NOTE: the ResNet152/DenseNet161 programs have wedged
+the tunnel's remote-compile endpoint — run them in a phase you can afford
+to lose, and one process per A/B comparison.
 
 Usage: python tools/bench_encoder.py [--batch 64] [--networks vgg19,...]
 """
@@ -21,62 +27,9 @@ Usage: python tools/bench_encoder.py [--batch 64] [--networks vgg19,...]
 import argparse
 import json
 import sys
+import os
 
-import numpy as np
-
-V5E_PEAK_FLOPS = 197e12
-
-
-def _init_on_host(init_fn, *args):
-    import jax
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        return init_fn(*args)
-
-
-def measure(network: str, batch: int, compute_dtype, s2d: bool,
-            precision: str | None):
-    import jax
-    import jax.numpy as jnp
-    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
-    from sat_tpu.utils.timing import device_time
-
-    params = _init_on_host(init_encoder_params, jax.random.PRNGKey(0), network)
-    imgs = jnp.asarray(np.random.default_rng(0).normal(
-        size=(batch, 224, 224, 3)).astype(np.float32))
-
-    def fwd(x):
-        if precision:
-            with jax.default_matmul_precision(precision):
-                return encoder_forward(params, network, x, compute_dtype,
-                                       s2d_conv1=s2d)
-        return encoder_forward(params, network, x, compute_dtype,
-                               s2d_conv1=s2d)
-
-    def body(x, i):
-        f = fwd(x)
-        return x + 1e-20 * f.sum()
-
-    flops = None
-    try:
-        ca = jax.jit(lambda x: fwd(x).sum()).lower(imgs).compile() \
-                .cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
-    dt = device_time(body, imgs, n_lo=1, n_hi=4, reps=5)
-    out = {"network": network, "batch": batch,
-           "dtype": "bf16" if compute_dtype is not None else "f32",
-           "s2d_conv1": s2d, "precision": precision or "default",
-           "ms_per_batch": round(dt * 1e3, 3),
-           "imgs_per_sec": round(batch / dt, 1)}
-    if flops:
-        out["tflops_per_sec"] = round(flops / dt / 1e12, 2)
-        out["mfu_pct_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS * 100, 1)
-    return out
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -91,6 +44,8 @@ def main():
     enable_persistent_cache()
     import jax.numpy as jnp
 
+    from sat_tpu.utils.benchmarks import measure_encoder_variant
+
     variants = [("vgg19", None, False, None),
                 ("vgg19", None, True, None),
                 ("vgg19", None, False, "highest"),
@@ -104,7 +59,7 @@ def main():
 
     for net, dt, s2d, prec in variants:
         try:
-            res = measure(net, args.batch, dt, s2d, prec)
+            res = measure_encoder_variant(net, args.batch, dt, s2d, prec)
             print(json.dumps(res), flush=True)
         except Exception as e:
             print(json.dumps({"network": net, "s2d_conv1": s2d,
