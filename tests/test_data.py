@@ -223,3 +223,24 @@ def test_image_cache_unbounded_by_default(prepped):
     for i in range(len(ds)):
         ds.load_image(i)
     assert len(ds._cache) == len(set(ds.img_paths))
+
+
+def test_image_cache_budget_shared_across_datasets(prepped):
+    """The --image-cache-gb cap is one host-RAM number: multiple datasets
+    passed the same CacheBudget draw from a single pool (review r3 — three
+    per-split budgets allowed 3x the cap)."""
+    from sat_tpu.data.dataset import CacheBudget
+
+    one = CaptionDataset(prepped, "train", cache_images=False,
+                         image_size=32).load_image(0).nbytes
+    pool = CacheBudget(3 * one)
+    datasets = [CaptionDataset(prepped, split, cache_images=True,
+                               image_size=32, cache_budget=pool)
+                for split in ("train", "val", "test")]
+    for ds in datasets:
+        for i in range(len(ds)):
+            ds.load_image(i)
+    total = sum(ds._cache_bytes for ds in datasets)
+    assert total <= 3 * one
+    assert pool.remaining >= 0
+    assert sum(len(ds._cache) for ds in datasets) == 3
