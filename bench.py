@@ -272,9 +272,10 @@ def main():
     for attempt in range(3):
         if _tpu_responsive(timeout_s=120):   # cold start + slow phase
             break
-        print(f"tpu backend unresponsive (probe {attempt + 1}/3); waiting",
+        print(f"tpu backend unresponsive (probe {attempt + 1}/3)",
               file=sys.stderr)
-        time.sleep(180)
+        if attempt < 2:   # no probe follows the last sleep — skip it
+            time.sleep(180)
 
     # The tunneled TPU occasionally wedges for tens of minutes (even trivial
     # dispatches hang). A hung bench records nothing; emit whatever was
@@ -333,18 +334,20 @@ def main():
                   file=sys.stderr)
     except Exception as e:
         print(f"fast-mode bench failed ({e})", file=sys.stderr)
-    try:
-        # Plausibility gates, both sides. High side: in some tunnel phases
-        # the two slope samples come back RT-dominated and near-equal,
-        # making the differenced device time absurdly small (observed once:
-        # 706k rows/s, "191% MFU") — discard. Low side (VERDICT r2 weak #1):
-        # a glitched slope can also land far BELOW the documented device-
-        # time band (ARCHITECTURE.md: ~10k rows/s f32, ~13-16k bf16-att);
-        # retry once, and if still low record it WITH a phase annotation so
-        # the artifact never silently understates the system.
-        for key, bf16, doc_rows in (("train_rows_per_sec", False, 10_000),
-                                    ("train_rows_per_sec_bf16", True, 13_000)):
-            signal.alarm(200)   # fresh watchdog window per train config
+    # Plausibility gates, both sides. High side: in some tunnel phases
+    # the two slope samples come back RT-dominated and near-equal,
+    # making the differenced device time absurdly small (observed once:
+    # 706k rows/s, "191% MFU") — discard. Low side (VERDICT r2 weak #1):
+    # a glitched slope can also land far BELOW the documented device-
+    # time band (ARCHITECTURE.md: ~10k rows/s f32, ~13-16k bf16-att);
+    # retry once, and if still low record it WITH a phase annotation so
+    # the artifact never silently understates the system. Each precision
+    # gets its OWN try: an f32-leg failure must not skip the bf16 leg
+    # (review r3).
+    for key, bf16, doc_rows in (("train_rows_per_sec", False, 10_000),
+                                ("train_rows_per_sec_bf16", True, 13_000)):
+        signal.alarm(200)   # fresh watchdog window per train config
+        try:
             best = None
             for attempt in range(2):
                 train_rows, train_flops, mfu = measure_train(bf16)
@@ -378,8 +381,8 @@ def main():
             if not bf16 and train_flops is not None:
                 line["train_step_flops"] = train_flops
                 line["train_mfu_pct"] = round(mfu, 2)
-    except Exception as e:
-        print(f"train bench failed ({e})", file=sys.stderr)
+        except Exception as e:
+            print(f"train bench failed ({key}: {e})", file=sys.stderr)
     signal.alarm(150)
     try:
         # Same plausibility gate as the train bench (true value ~1.4-1.9ms;

@@ -147,17 +147,20 @@ def prune_train_states(checkpoint_dir: str, keep: int) -> list[int]:
     AFTER a save; waits for the in-flight commit first so (a) the newest
     directory is never deleted half-written and (b) with keep=1 there is
     no instant at which zero committed checkpoints exist. Only process 0
-    touches the filesystem on multi-host runs. Returns the pruned steps."""
+    touches the filesystem on multi-host runs. Returns the pruned steps.
+
+    keep <= 0 prunes NOTHING, matching the --keep-checkpoints flag where 0
+    (the default) means retain everything — a caller passing the flag value
+    straight through must never mass-delete resume state (review r3)."""
     import shutil
-    if keep < 0:
+    if keep <= 0:
         return []
     wait_for_saves()
     root = os.path.join(checkpoint_dir, "orbax")
     if not os.path.isdir(root) or jax.process_index() != 0:
         return []
     steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
-    pruned = steps[:-keep] if 0 < keep < len(steps) else \
-        (steps if keep == 0 else [])
+    pruned = steps[:-keep] if keep < len(steps) else []
     for step in pruned:
         shutil.rmtree(os.path.join(root, str(step)), ignore_errors=True)
     return pruned
@@ -188,10 +191,15 @@ def train_state_has_key(checkpoint_dir: str, step: int, key: str) -> bool:
     path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
     try:
         meta = _checkpointer().metadata(path)
-        tree = getattr(meta, "item_metadata", meta)
-        tree = getattr(tree, "tree", tree)
-        return key in tree
-    except Exception:
-        # Metadata unreadable (very old orbax layout): report the key absent
-        # so the caller uses the legacy template — matches pre-probe behavior.
+    except FileNotFoundError:
+        # No metadata file at all (foreign / ancient orbax layout): report
+        # the key absent so the caller uses the legacy template. Every other
+        # failure propagates — a transient read error on a modern checkpoint
+        # must surface, not silently misroute resume onto the legacy
+        # template, where the restore would crash with a misleading
+        # tree-structure mismatch (review r3; the narrowing ADVICE r2 asked
+        # for).
         return False
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    return key in tree

@@ -34,8 +34,14 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
     stochastic variant (temperature / top-k / top-p); its closure takes
     (images, rng) — the caller supplies a fresh PRNG key per batch."""
     from sat_tpu.models.beam import (beam_search_batched, greedy_caption,
-                                     sample_caption)
+                                     sample_caption,
+                                     validate_sampling_params)
     from sat_tpu.models.encoder import encoder_forward
+
+    if decode == "sample":
+        # Fail at closure build (CLI startup), not at the first traced
+        # request — see validate_sampling_params.
+        validate_sampling_params(temperature, top_k, top_p)
 
     def encode(images):
         feats = encoder_forward(enc_params, network, images,

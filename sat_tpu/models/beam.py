@@ -494,6 +494,23 @@ def greedy_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     return toks, lengths
 
 
+def validate_sampling_params(temperature: float, top_k: int,
+                             top_p: float) -> None:
+    """Reject degenerate sampling knobs loudly (review r3): top_p <= 0
+    empties the nucleus, turning every logit into -inf — categorical over
+    an all--inf row silently returns token 0 every step, so a server
+    started with --top-p 0 would answer every request with garbage and no
+    error anywhere. Negative top_k instead crashes at trace time deep in
+    lax.top_k. Called both here and eagerly at serving-closure build so
+    CLIs fail at startup, not at the first request."""
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0 (0 disables it), got {top_k}")
+    if temperature < 0.0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+
+
 def sample_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                    rng: jax.Array, temperature: float = 1.0,
                    top_k: int = 0, top_p: float = 1.0,
@@ -506,6 +523,7 @@ def sample_caption(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     sampled. features: (B, L, D); returns (tokens (B, max_steps),
     lengths (B,)) with the same stop/pad semantics as `greedy_caption`,
     plus alphas (B, max_steps, L) when `with_alphas=True`."""
+    validate_sampling_params(temperature, top_k, top_p)
     B = features.shape[0]
     V = cfg.effective_vocab_size
     stop_a, stop_b = (constants.BEAM_STOP_BERT if cfg.use_bert

@@ -69,6 +69,13 @@ def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
     flops = compiled_flops(lambda x: fwd(x).sum(), imgs)
     dt = device_time(lambda x, i: x + 1e-20 * fwd(x).sum(), imgs,
                      n_lo=n_lo, n_hi=n_hi, reps=reps)
+    if dt <= 0:
+        # device_time floors a negative median slope at 0.0 — an
+        # RT-dominated glitch phase, not a real measurement (review r3:
+        # dividing by it crashed the caller instead of getting the
+        # discard treatment other implausible samples receive).
+        raise RuntimeError(
+            f"implausible encoder slope ({network} B={batch}): dt={dt}")
     out = {"network": network, "batch": batch,
            "dtype": "bf16" if compute_dtype is not None else "f32",
            "s2d_conv1": s2d, "precision": precision or "default",

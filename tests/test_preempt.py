@@ -183,3 +183,58 @@ def test_keep_checkpoints_pruning(data_root, tmp_path):
     tr2 = Trainer(make_cfg(data_root, tmp_path / "gc", epochs=4,
                            keep_checkpoints=2, resume=True))
     assert tr2.start_epoch == 4
+
+
+def test_prune_keep_zero_keeps_everything(tmp_path):
+    """keep<=0 must prune NOTHING: --keep-checkpoints 0 (the default)
+    means retain all, and a caller passing the flag straight through must
+    never mass-delete resume state (review r3 — keep==0 used to delete
+    every checkpoint)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from sat_tpu.engine import checkpoint as ckpt
+
+    for step in (1, 2, 3):
+        ckpt.save_train_state(str(tmp_path), step,
+                              {"x": jnp.zeros((2,)), "step": step},
+                              blocking=True)
+    for keep in (0, -1):
+        assert ckpt.prune_train_states(str(tmp_path), keep) == []
+    root = tmp_path / "orbax"
+    assert sorted(int(d) for d in os.listdir(root)) == [1, 2, 3]
+    assert ckpt.prune_train_states(str(tmp_path), 2) == [1]
+
+
+def test_has_key_probe_surfaces_transient_errors(tmp_path, monkeypatch):
+    """A transient metadata-read failure on a modern checkpoint must
+    propagate, NOT be misreported as a legacy layout (which would route
+    resume onto the wrong template and crash with a misleading
+    tree-structure mismatch). Only a genuinely absent metadata file means
+    legacy/foreign (review r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sat_tpu.engine import checkpoint as ckpt
+
+    ckpt.save_train_state(str(tmp_path), 7,
+                          {"x": jnp.zeros((2,)), "batch_offset": 0},
+                          blocking=True)
+    assert ckpt.train_state_has_key(str(tmp_path), 7, "batch_offset")
+    assert not ckpt.train_state_has_key(str(tmp_path), 7, "nope")
+
+    class Boom:
+        def metadata(self, path):
+            raise OSError("transient read failure")
+
+    monkeypatch.setattr(ckpt, "_checkpointer", lambda: Boom())
+    with pytest.raises(OSError):
+        ckpt.train_state_has_key(str(tmp_path), 7, "batch_offset")
+
+    class Missing:
+        def metadata(self, path):
+            raise FileNotFoundError(path)
+
+    monkeypatch.setattr(ckpt, "_checkpointer", lambda: Missing())
+    assert not ckpt.train_state_has_key(str(tmp_path), 7, "batch_offset")

@@ -58,3 +58,28 @@ def test_sampling_is_jittable():
                                                top_k=5, top_p=0.9))
     toks, lengths = f(params, feats, jax.random.PRNGKey(4))
     assert toks.shape == (B, 51) and lengths.shape == (B,)
+
+
+def test_degenerate_sampling_params_rejected():
+    """top_p=0 empties the nucleus (every logit -inf -> categorical
+    silently emits token 0 forever); negative top_k crashes deep inside
+    lax.top_k. Both must fail loudly at the API boundary (review r3)."""
+    import pytest
+
+    from sat_tpu.engine.serving import build_caption_fn
+    from sat_tpu.models.encoder import init_encoder_params
+
+    cfg, params, feats = _setup()
+    for kw in ({"top_p": 0.0}, {"top_p": -0.5}, {"top_p": 1.5},
+               {"top_k": -1}, {"temperature": -1.0}):
+        with pytest.raises(ValueError):
+            sample_caption(params, cfg, feats, jax.random.PRNGKey(0), **kw)
+    # the serving closure rejects at BUILD time (CLI startup), before any
+    # request traces
+    enc = init_encoder_params(jax.random.PRNGKey(0), "vgg19")
+    with pytest.raises(ValueError):
+        build_caption_fn("vgg19", cfg, enc, params, beam_size=1,
+                         decode="sample", top_p=0.0)
+    # valid edges still accepted: top_p=1 / top_k=0 disable truncation
+    sample_caption(params, cfg, feats, jax.random.PRNGKey(0),
+                   top_p=1.0, top_k=0, temperature=0.0)
