@@ -83,6 +83,47 @@ def decoder_params_from_state_dict(state_dict, params: dict,
     return new
 
 
+def state_dict_from_decoder_params(params: dict) -> dict:
+    """Inverse of `decoder_params_from_state_dict`: export a sat_tpu decoder
+    param tree as a reference-schema state_dict (name -> np.float32 array),
+    ready for `torch.save({k: torch.from_numpy(v) ...})` and
+    `Decoder.load_state_dict` on the reference side (its key schema per
+    reference decoder.py:40-66, saves per train.py:102-104).
+
+    Linears stored here as (in, out) transpose back to torch's (out, in);
+    the LSTM's (i, f, g, o) gate blocks carry over unchanged (same order in
+    both frameworks). `f_h`/`f_z`/`f_out` are emitted only when the tree
+    has an `ado` branch — matching a reference Decoder constructed with the
+    same flag."""
+    p = jax_to_numpy(params)
+    sd = {}
+
+    def put_linear(tname, tree):
+        sd[f"{tname}.weight"] = np.ascontiguousarray(
+            np.asarray(tree["w"], dtype=np.float32).T)
+        sd[f"{tname}.bias"] = np.asarray(tree["b"], dtype=np.float32)
+
+    sd["embedding.weight"] = np.asarray(p["embedding"], dtype=np.float32)
+    put_linear("init_h", p["init_h"])
+    put_linear("init_c", p["init_c"])
+    put_linear("f_beta", p["f_beta"])
+    put_linear("attention.U", p["attention"]["U"])
+    put_linear("attention.W", p["attention"]["W"])
+    put_linear("attention.v", p["attention"]["v"])
+    put_linear("deep_output", p["deep_output"])
+    for tname, key in (("weight_ih", "w_ih"), ("weight_hh", "w_hh"),
+                       ("bias_ih", "b_ih"), ("bias_hh", "b_hh")):
+        arr = np.asarray(p["lstm"][key], dtype=np.float32)
+        if tname.startswith("weight"):
+            arr = np.ascontiguousarray(arr.T)
+        sd[f"lstm.{tname}"] = arr
+    if "ado" in p:
+        put_linear("f_h", p["ado"]["f_h"])
+        put_linear("f_z", p["ado"]["f_z"])
+        put_linear("f_out", p["ado"]["f_out"])
+    return sd
+
+
 def jax_to_numpy(tree):
     import jax
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
