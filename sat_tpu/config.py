@@ -112,6 +112,12 @@ class Config:
                                    # halves bank residency + gather traffic
                                    # (features are cast back to f32 after
                                    # the per-step gather)
+    steps_per_dispatch: int = 1    # bank-mode training: scan K optimizer
+                                   # steps inside ONE jitted dispatch
+                                   # (amortizes host round trips K-fold;
+                                   # bit-identical numerics/meters/stdout).
+                                   # 1 = per-batch dispatch, and the only
+                                   # mode available off the feature bank
     keep_checkpoints: int = 0      # keep only the newest N orbax
                                    # train-state checkpoints (0 = keep all,
                                    # the reference-like default); decoder
@@ -259,6 +265,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="HBM feature-bank storage dtype; bfloat16 "
                              "halves bank residency and gather traffic "
                              "(default float32 = exact numerics)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="bank-mode training: K optimizer steps per "
+                             "jitted dispatch (lax.scan); bit-identical "
+                             "numerics, K-fold fewer host round trips "
+                             "(default 1; needs --cache-features with the "
+                             "bank resident in HBM)")
     parser.add_argument("--keep-checkpoints", type=int, default=0,
                         help="prune orbax train-state checkpoints beyond "
                              "the newest N (0 = keep all)")

@@ -39,8 +39,10 @@ from sat_tpu.compat.torch_encoder import load_encoder_npz
 from sat_tpu.parallel import (
     TrainState,
     batch_sharding,
+    block_batch_sharding,
     init_train_state,
     make_bank_eval_step,
+    make_bank_train_block,
     make_bank_train_step,
     make_eval_step,
     make_mesh,
@@ -304,11 +306,21 @@ class Trainer:
                       f"exceeds --feature-bank-hbm-gb; using host gather")
 
         # ---- steps ----
+        self.train_block = None
         if self.use_bank:
             self.train_step = make_bank_train_step(
                 self.dcfg, cfg.alpha_c,
                 rep_penalty_beta=cfg.rep_penalty_beta)
             self.eval_step = make_bank_eval_step(self.dcfg, cfg.alpha_c)
+            if cfg.steps_per_dispatch > 1:
+                self.train_block = make_bank_train_block(
+                    self.dcfg, cfg.alpha_c,
+                    rep_penalty_beta=cfg.rep_penalty_beta)
+                self.block_sharding = block_batch_sharding(self.mesh)
+        elif cfg.steps_per_dispatch > 1:
+            print("--steps-per-dispatch needs the HBM feature bank "
+                  "(--cache-features within --feature-bank-hbm-gb); "
+                  "falling back to per-batch dispatch")
         else:
             self.train_step = make_train_step(self.dcfg, cfg.network,
                                               cfg.alpha_c, cfg.bf16_encoder,
@@ -405,6 +417,34 @@ class Trainer:
         img_idx = self.bank[split]["rows"][idxs].astype(np.int32)
         return self._put(img_idx, idxs, mask)
 
+    def _put_indices_block(self, split, idx_list):
+        """Stacked (K, B) index block for a steps-per-dispatch train block:
+        per-batch padding identical to `_put_indices`, then one placement
+        with the step axis replicated and the batch axis sharded on `data`
+        (`block_batch_sharding`). `_pad_batch`'s None mask (no padding
+        needed) stacks as all-true — the masked reductions are bitwise
+        equal either way. All batches in a block must share one size (the
+        caller groups only full-size batches)."""
+        rows = self.bank[split]["rows"]
+        img_l, row_l, mask_l = [], [], []
+        for idxs in idx_list:
+            (p_idxs,), mask = _pad_batch([np.asarray(idxs, np.int32)],
+                                         self.pad_multiple)
+            img_l.append(rows[p_idxs].astype(np.int32))
+            row_l.append(p_idxs)
+            mask_l.append(np.ones(len(p_idxs), bool) if mask is None
+                          else mask)
+        img_idx, row_idx, mask = (np.stack(img_l), np.stack(row_l),
+                                  np.stack(mask_l))
+        if jax.process_count() == 1:
+            return tuple(jax.device_put(a, self.block_sharding)
+                         for a in (img_idx, row_idx, mask))
+        H = jax.process_count()
+        mk = jax.make_array_from_process_local_data
+        return tuple(mk(self.block_sharding, a,
+                        (a.shape[0], a.shape[1] * H) + a.shape[2:])
+                     for a in (img_idx, row_idx, mask))
+
     def _run_train_step(self, split, imgs, captions, idxs, lr, rng):
         if self.use_bank:
             img_idx, row_idx, mask = self._put_indices(split, idxs)
@@ -487,7 +527,8 @@ class Trainer:
     PREEMPT_SYNC_EVERY = 8
 
     def _preempt_coordinated(self, batch_idx: int = -1,
-                             n_batches: int = 0) -> bool:
+                             n_batches: int = 0,
+                             poll_override: bool | None = None) -> bool:
         """Whether to checkpoint-and-stop at this step boundary, agreed by
         ALL hosts. The mid-epoch Orbax save of mesh-sharded state is a
         cross-process collective, and preemption signals land on hosts at
@@ -502,8 +543,14 @@ class Trainer:
         the hosts."""
         if jax.process_count() == 1:
             return self._preempt_requested
-        poll = (batch_idx % self.PREEMPT_SYNC_EVERY
-                == self.PREEMPT_SYNC_EVERY - 1) or batch_idx == n_batches - 1
+        # poll_override: block-mode dispatch supplies its own schedule
+        # (every ~PREEMPT_SYNC_EVERY batches' worth of blocks + the last) —
+        # identical on every host, since blocks are cut from the same
+        # deterministic batch list.
+        poll = (poll_override if poll_override is not None
+                else (batch_idx % self.PREEMPT_SYNC_EVERY
+                      == self.PREEMPT_SYNC_EVERY - 1)
+                or batch_idx == n_batches - 1)
         if not poll:
             return False
         from jax.experimental import multihost_utils
@@ -552,6 +599,10 @@ class Trainer:
                 "train_top5_acc_raw": top5.val,
             })
 
+        if self.train_block is not None:
+            self._train_epoch_blocked(epoch, lr, n_batches, skip, finish)
+            return
+
         pending = deque()
         for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
             if batch_idx < skip:
@@ -577,6 +628,84 @@ class Trainer:
                 finish(*pending.popleft())
         while pending:
             finish(*pending.popleft())
+
+    def _train_epoch_blocked(self, epoch, lr, n_batches, skip, finish):
+        """Steps-per-dispatch epoch body: K optimizer steps scanned inside
+        one jitted dispatch (`make_bank_train_block`), metrics read back as
+        one stacked pytree per block and fed through the same `finish` the
+        per-batch loop uses — meters, stdout, logger rows, and numerics are
+        identical (asserted bit-for-bit by test_steps_per_dispatch_parity);
+        only the host<->device round-trip count drops K-fold.
+
+        Block layout: full-size batches group into (K, B) blocks plus one
+        (r, B) remainder block; a final partial batch (drop_last=False)
+        dispatches through the per-batch step as before. Preemption is
+        honored at block boundaries — a checkpoint granularity of K batches,
+        matching the multi-host poll cadence the per-batch loop already
+        uses (PREEMPT_SYNC_EVERY)."""
+        cfg = self.cfg
+        K = cfg.steps_per_dispatch
+        bank = self.bank["train"]
+        idx_batches = [idxs for (_imgs, _caps, _all, idxs)
+                       in self.train_loader.epoch(epoch)][skip:]
+        # only the trailing batch can be undersized (contiguous splits)
+        tail = None
+        if idx_batches and len(idx_batches[-1]) != cfg.batch_size:
+            tail = idx_batches.pop()
+        blocks = [idx_batches[i:i + K]
+                  for i in range(0, len(idx_batches), K)]
+        poll_every = max(1, self.PREEMPT_SYNC_EVERY // K)
+
+        def finish_block(start_idx, metrics_k):
+            k = next(iter(metrics_k.values())).shape[0]
+            for j in range(k):
+                finish(start_idx + j,
+                       {key: v[j] for key, v in metrics_k.items()})
+
+        pending = None
+        for blk_i, chunk in enumerate(blocks):
+            start_idx = skip + blk_i * K
+            img_idx, row_idx, mask = self._put_indices_block("train", chunk)
+            with jax.profiler.StepTraceAnnotation("train",
+                                                  step_num=self._host_step):
+                self.state, metrics_k = self.train_block(
+                    self.state, bank["feats"], bank["caps"], img_idx,
+                    row_idx, jnp.float32(lr), self.dropout_rng,
+                    jnp.int32(self._host_step), mask)
+            self._host_step += len(chunk)
+
+            last = blk_i == len(blocks) - 1 and tail is None
+            if self._preempt_coordinated(
+                    poll_override=(blk_i % poll_every == poll_every - 1)
+                    or last):
+                if pending:
+                    finish_block(*pending)
+                end = start_idx + len(chunk)
+                self._save_train_state(epoch, batch_offset=end)
+                print(f"Preempted at epoch {epoch} batch {end}: "
+                      f"train state saved; rerun with --resume to continue")
+                raise TrainingPreempted()
+
+            if pending:
+                finish_block(*pending)
+            pending = (start_idx, metrics_k)
+        if pending:
+            finish_block(*pending)
+
+        if tail is not None:
+            batch_idx = skip + len(idx_batches)
+            rng = jax.random.fold_in(self.dropout_rng, self._host_step)
+            with jax.profiler.StepTraceAnnotation("train",
+                                                  step_num=self._host_step):
+                self.state, metrics = self._run_train_step(
+                    "train", None, None, tail, lr, rng)
+            self._host_step += 1
+            if self._preempt_coordinated(batch_idx, n_batches):
+                self._save_train_state(epoch, batch_offset=batch_idx + 1)
+                print(f"Preempted at epoch {epoch} batch {batch_idx + 1}: "
+                      f"train state saved; rerun with --resume to continue")
+                raise TrainingPreempted()
+            finish(batch_idx, metrics)
 
     def _decode(self, token_rows) -> list:
         if self.cfg.bert:

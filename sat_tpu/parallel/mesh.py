@@ -46,6 +46,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def block_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (K, B, ...) stacked-batch arrays (steps-per-dispatch
+    training blocks): the step axis is replicated — every device walks the
+    same K-step schedule — and the batch axis shards on `data` exactly like
+    a single batch."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def _decoder_specs(params: dict) -> dict:
     """PartitionSpec tree for decoder params: vocab-dim sharding on the
     embedding and output heads, everything else replicated."""

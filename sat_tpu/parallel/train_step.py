@@ -175,6 +175,57 @@ def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_bank_train_block(dcfg: DecoderConfig, alpha_c: float,
+                          rep_penalty_beta: float = 0.0):
+    """K optimizer steps in ONE dispatch: `lax.scan` over stacked index
+    batches from the HBM feature bank.
+
+    Bank-mode steps are a few ms of device time, so per-step wall-clock is
+    dominated by the host->device dispatch + metric readback round trips
+    (documented at 1-30ms each over the tunneled dev chip). Scanning K
+    steps inside one jitted program amortizes that overhead K-fold; the
+    host ships one (K, B) int32 index block and reads one stacked metrics
+    pytree per dispatch.
+
+    Numerics are bit-identical to K consecutive `make_bank_train_step`
+    calls: the same per-step computation is scanned, and the per-step
+    dropout key is derived in-graph as `fold_in(base_rng, step0 + i)` —
+    the exact host-side derivation the per-batch loop uses
+    (engine/loop.py train_epoch). Asserted by
+    tests/test_engine.py::test_steps_per_dispatch_parity.
+
+    Returns jitted `block(state, feat_bank (U, L, D), caps_bank (N, T),
+    img_idx (K, B), row_idx (K, B), lr, base_rng, step0, row_mask (K, B))
+    -> (state, metrics)` where each metrics leaf is stacked to (K,).
+    """
+    tx = make_optimizer()
+
+    def block_fn(state: TrainState, feat_bank, caps_bank, img_idx, row_idx,
+                 lr, base_rng, step0, row_mask):
+        def one_step(st, xs):
+            i, ii, ri, mask = xs
+            rng = jax.random.fold_in(base_rng, step0 + i)
+            features = feat_bank[ii].astype(jnp.float32)
+            captions = caps_bank[ri]
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: _loss_and_metrics(dcfg, alpha_c, p, features,
+                                            captions, rng, True, mask,
+                                            rep_penalty_beta),
+                has_aux=True)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params=params, opt_state=opt_state,
+                              step=st.step + 1), aux[0]
+
+        k = img_idx.shape[0]
+        state, metrics = jax.lax.scan(
+            one_step, state, (jnp.arange(k), img_idx, row_idx, row_mask))
+        return state, metrics
+
+    return jax.jit(block_fn, donate_argnums=(0,))
+
+
 def make_bank_eval_step(dcfg: DecoderConfig, alpha_c: float):
     """Feature-bank eval step: indices in, metrics + argmax tokens +
     alphas out."""

@@ -95,3 +95,78 @@ def test_fast_metrics_skips_offinterval_syncs(data_root, tmp_path):
     # meters are train_epoch-local; the observable contract is that training
     # still advances one optimizer step per batch with syncs skipped
     assert int(tr.state.step) == 4
+
+
+def test_steps_per_dispatch_parity(data_root, tmp_path, capsys):
+    """--steps-per-dispatch K must be BIT-identical to per-batch dispatch:
+    same params after the epoch, same optimizer step count, same printed
+    batch lines in the same order (only the host round-trip count drops).
+    batch_size=2 on 8 rows -> 4 batches; K=3 exercises both the (3, B)
+    block and the (1, B) remainder block."""
+    import jax
+    from sat_tpu.engine.loop import Trainer
+    runs = {}
+    for K in (1, 3):
+        tr = Trainer(_cfg(data_root, tmp_path / f"k{K}", cache_features=True,
+                          batch_size=2, steps_per_dispatch=K))
+        assert (tr.train_block is not None) == (K > 1)
+        capsys.readouterr()                      # drop construction chatter
+        tr.train_epoch(1)
+        out = capsys.readouterr().out
+        runs[K] = {
+            "params": jax.tree_util.tree_map(np.asarray, tr.state.params),
+            "step": int(tr.state.step),
+            "lines": [l for l in out.splitlines()
+                      if l.startswith("Train Batch")],
+        }
+    assert runs[3]["step"] == runs[1]["step"] == 4
+    assert runs[3]["lines"] == runs[1]["lines"]
+    leaves1 = jax.tree_util.tree_leaves(runs[1]["params"])
+    leaves3 = jax.tree_util.tree_leaves(runs[3]["params"])
+    for a, b in zip(leaves1, leaves3):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_steps_per_dispatch_partial_tail_batch(data_root, tmp_path):
+    """batch_size=3 on 8 rows -> [3, 3, 2]: one (2, 3) block plus the
+    partial tail through the per-batch step; must match K=1 bitwise."""
+    import jax
+    from sat_tpu.engine.loop import Trainer
+    params = {}
+    for K in (1, 2):
+        tr = Trainer(_cfg(data_root, tmp_path / f"t{K}", cache_features=True,
+                          batch_size=3, steps_per_dispatch=K))
+        tr.train_epoch(1)
+        assert int(tr.state.step) == 3
+        params[K] = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params[1]),
+                    jax.tree_util.tree_leaves(params[2])):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_steps_per_dispatch_preempt_at_block_boundary(data_root, tmp_path):
+    """A preemption request in block mode checkpoints at the end of the
+    current block (offset = multiple of K) and resume continues to the
+    same final params as an uninterrupted blocked run."""
+    import jax
+    import pytest as _pytest
+    from sat_tpu.engine.loop import Trainer, TrainingPreempted
+    kw = dict(cache_features=True, batch_size=2, steps_per_dispatch=3,
+              epochs=1)
+
+    tr_ref = Trainer(_cfg(data_root, tmp_path / "whole", **kw))
+    tr_ref.train_epoch(1)
+
+    tr = Trainer(_cfg(data_root, tmp_path / "pre", **kw))
+    tr.request_preempt()
+    with _pytest.raises(TrainingPreempted):
+        tr.train_epoch(1)
+    assert int(tr.state.step) == 3       # the first (3, B) block ran
+
+    tr2 = Trainer(_cfg(data_root, tmp_path / "pre", resume=True, **kw))
+    assert tr2._resume_batch_offset == 3
+    tr2.train_epoch(1)
+    assert int(tr2.state.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(tr_ref.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
