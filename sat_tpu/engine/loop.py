@@ -657,6 +657,13 @@ class Trainer:
         poll_every = max(1, self.PREEMPT_SYNC_EVERY // K)
 
         def finish_block(start_idx, metrics_k):
+            # One bulk device->host fetch for the whole stacked pytree:
+            # handing finish() lazy device slices (v[j]) would cost one
+            # tunnel round trip per float() — K*n_metrics per block, the
+            # very overhead this mode exists to amortize. After device_get
+            # the per-step values are host numpy scalars and finish()'s
+            # float() calls are free.
+            metrics_k = jax.device_get(metrics_k)
             k = next(iter(metrics_k.values())).shape[0]
             for j in range(k):
                 finish(start_idx + j,
