@@ -42,6 +42,13 @@ EXPERIMENTS = {
                            "--model=model/model_vgg19_8.npz"],
     "resnet-att": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
                    "--attention", "--network=resnet152"],
+    # Production-fast variant of the headline config: HBM feature bank +
+    # K-step dispatch blocks. Bit-identical training trajectory to
+    # plain-att (asserted by tests); wall-clock is bounded by device time
+    # instead of host link latency.
+    "plain-att-fast": ["--data=data/flickr8k", "--epochs=8", "--tf",
+                       "--ado", "--attention", "--cache-features",
+                       "--steps-per-dispatch=8"],
 }
 
 
