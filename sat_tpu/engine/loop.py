@@ -41,6 +41,7 @@ from sat_tpu.parallel import (
     batch_sharding,
     block_batch_sharding,
     init_train_state,
+    make_bank_eval_block,
     make_bank_eval_step,
     make_bank_train_block,
     make_bank_train_step,
@@ -307,6 +308,7 @@ class Trainer:
 
         # ---- steps ----
         self.train_block = None
+        self.eval_block = None
         if self.use_bank:
             self.train_step = make_bank_train_step(
                 self.dcfg, cfg.alpha_c,
@@ -316,6 +318,8 @@ class Trainer:
                 self.train_block = make_bank_train_block(
                     self.dcfg, cfg.alpha_c,
                     rep_penalty_beta=cfg.rep_penalty_beta)
+                self.eval_block = make_bank_eval_block(self.dcfg,
+                                                       cfg.alpha_c)
                 self.block_sharding = block_batch_sharding(self.mesh)
         elif cfg.steps_per_dispatch > 1:
             print("--steps-per-dispatch needs the HBM feature bank "
@@ -748,7 +752,11 @@ class Trainer:
             # all-gather (real rows sliced per host stripe and re-joined in
             # host order); host-local captions gather over DCN/ICI via
             # process_allgather (striping gives every host equal n_real).
-            toks_g = self._host_read(pred_tokens)
+            # The blocked-validation path hands in tokens already gathered
+            # to host numpy (one bulk fetch per K batches); device arrays
+            # take the per-batch gather as before.
+            toks_g = (pred_tokens if isinstance(pred_tokens, np.ndarray)
+                      else self._host_read(pred_tokens))
             H = jax.process_count()
             if H > 1:
                 local_padded = toks_g.shape[0] // H
@@ -817,39 +825,16 @@ class Trainer:
                         png, caption=" ".join(words))
                     viz_count += 1
 
-        # Software pipeline (same shape as caption_split.py): eval steps
-        # dispatch asynchronously, so keeping one batch in flight overlaps
-        # the device compute of batch N with the host sync + decode of
-        # batch N-1 — on the tunneled chip this also hides the per-batch
-        # round trip. Results and stdout are identical to the synchronous
-        # loop (batches are finished strictly in order).
-        pending = deque()
-        for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
-            n_real = captions.shape[0]
-            metrics, pred_tokens, alphas = self._run_eval_step(
-                loader.split, imgs, captions, idxs)
-            # Preemption must be honored during (potentially long) eval
-            # passes too, not only in the train loop: the trained epoch is
-            # checkpointed as COMPLETE (batch_offset=0) and the run exits;
-            # --resume starts the next epoch (validation is repeatable and
-            # carries no state, so skipping its tail loses only metrics of
-            # the interrupted pass). Coordinated across hosts like the
-            # train-loop check — the epoch save is a collective.
-            if mode == EvalMode.VALIDATION \
-                    and self._preempt_coordinated(batch_idx, n_batches):
-                while pending:
-                    finish(*pending.popleft())
-                self.save_epoch(epoch)
-                print(f"Preempted during validation of epoch {epoch}: "
-                      f"epoch checkpointed as complete; rerun with --resume "
-                      f"to continue at epoch {epoch + 1}")
-                raise TrainingPreempted()
-            pending.append((batch_idx, n_real, imgs, captions, all_captions,
-                            metrics, pred_tokens, alphas))
-            if len(pending) >= 2:
-                finish(*pending.popleft())
-        while pending:
-            finish(*pending.popleft())
+        # Blocked validation (--steps-per-dispatch): K eval batches scanned
+        # per dispatch, 2 bulk fetches per block instead of ~5 round trips
+        # per batch. VALIDATION only — TEST needs per-batch alphas for the
+        # attention viz. Meters, stdout, BLEU, and the predictions table
+        # are identical to the per-batch loop (asserted bitwise by
+        # tests/test_feature_cache.py::test_blocked_validation_parity).
+        if self.eval_block is not None and mode == EvalMode.VALIDATION:
+            self._eval_blocked(epoch, loader, n_batches, finish)
+        else:
+            self._eval_per_batch(epoch, loader, mode, n_batches, finish)
 
         bleu = compute_bleu(decoded_all_captions, decoded_hypotheses)
         self.logger.log({
@@ -872,6 +857,105 @@ class Trainer:
               f"BLEU-3 ({bleu['bleu3']})\t"
               f"BLEU-4 ({bleu['bleu4']})\t")
         return {"loss": losses.avg, "top1": top1.avg, "top5": top5.avg, **bleu}
+
+    def _eval_per_batch(self, epoch, loader, mode, n_batches, finish):
+        """Per-batch eval pipeline (same shape as caption_split.py): eval
+        steps dispatch asynchronously, so keeping one batch in flight
+        overlaps the device compute of batch N with the host sync + decode
+        of batch N-1 — on the tunneled chip this also hides the per-batch
+        round trip. Results and stdout are identical to the synchronous
+        loop (batches are finished strictly in order)."""
+        pending = deque()
+        for batch_idx, (imgs, captions, all_captions, idxs) in enumerate(loader.epoch(epoch)):
+            n_real = captions.shape[0]
+            metrics, pred_tokens, alphas = self._run_eval_step(
+                loader.split, imgs, captions, idxs)
+            # Preemption must be honored during (potentially long) eval
+            # passes too, not only in the train loop: the trained epoch is
+            # checkpointed as COMPLETE (batch_offset=0) and the run exits;
+            # --resume starts the next epoch (validation is repeatable and
+            # carries no state, so skipping its tail loses only metrics of
+            # the interrupted pass). Coordinated across hosts like the
+            # train-loop check — the epoch save is a collective.
+            if mode == EvalMode.VALIDATION \
+                    and self._preempt_coordinated(batch_idx, n_batches):
+                while pending:
+                    finish(*pending.popleft())
+                self._preempt_eval(epoch)
+            pending.append((batch_idx, n_real, imgs, captions, all_captions,
+                            metrics, pred_tokens, alphas))
+            if len(pending) >= 2:
+                finish(*pending.popleft())
+        while pending:
+            finish(*pending.popleft())
+
+    def _preempt_eval(self, epoch):
+        self.save_epoch(epoch)
+        print(f"Preempted during validation of epoch {epoch}: "
+              f"epoch checkpointed as complete; rerun with --resume "
+              f"to continue at epoch {epoch + 1}")
+        raise TrainingPreempted()
+
+    def _eval_blocked(self, epoch, loader, n_batches, finish):
+        """Blocked VALIDATION pass (--steps-per-dispatch K): K eval batches
+        scanned inside one dispatch (`make_bank_eval_block`); per block the
+        host pays one bulk `device_get` of the stacked metrics and one
+        token gather, instead of ~5 round trips per batch. The same
+        `finish` the per-batch loop uses consumes the unstacked per-batch
+        slices in order, so meters, stdout, BLEU, predictions table, and
+        multi-host gathers are identical. A partial tail batch routes
+        through the per-batch eval step; preemption lands on block
+        boundaries (validation carries no state, the epoch is checkpointed
+        complete exactly like the per-batch loop)."""
+        cfg = self.cfg
+        K = cfg.steps_per_dispatch
+        split = loader.split
+        bank = self.bank[split]
+        batches = list(loader.epoch(epoch))
+        tail = None
+        if batches and batches[-1][1].shape[0] != cfg.batch_size:
+            tail = batches.pop()
+        blocks = [batches[i:i + K] for i in range(0, len(batches), K)]
+        poll_every = max(1, self.PREEMPT_SYNC_EVERY // K)
+
+        def finish_block(start_idx, chunk, metrics_k, toks_k):
+            metrics_k = jax.device_get(metrics_k)
+            toks_g = self._host_read(toks_k)      # (k, Bpad, T-1), global
+            for j, (imgs, captions, all_captions, _idxs) in enumerate(chunk):
+                finish(start_idx + j, captions.shape[0], imgs, captions,
+                       all_captions,
+                       {key: v[j] for key, v in metrics_k.items()},
+                       toks_g[j], None)
+
+        pending = None
+        for blk_i, chunk in enumerate(blocks):
+            img_idx, row_idx, mask = self._put_indices_block(
+                split, [c[3] for c in chunk])
+            metrics_k, toks_k = self.eval_block(
+                self.state.params, bank["feats"], bank["caps"], img_idx,
+                row_idx, mask)
+            last = blk_i == len(blocks) - 1 and tail is None
+            if self._preempt_coordinated(
+                    poll_override=(blk_i % poll_every == poll_every - 1)
+                    or last):
+                if pending:
+                    finish_block(*pending)
+                self._preempt_eval(epoch)
+            if pending:
+                finish_block(*pending)
+            pending = (blk_i * K, chunk, metrics_k, toks_k)
+        if pending:
+            finish_block(*pending)
+
+        if tail is not None:
+            batch_idx = len(batches)
+            imgs, captions, all_captions, idxs = tail
+            metrics, pred_tokens, alphas = self._run_eval_step(
+                split, imgs, captions, idxs)
+            if self._preempt_coordinated(batch_idx, n_batches):
+                self._preempt_eval(epoch)
+            finish(batch_idx, captions.shape[0], imgs, captions,
+                   all_captions, metrics, pred_tokens, alphas)
 
     def validate(self, epoch: int) -> dict:
         print(f"Epoch {epoch} - Starting validation")

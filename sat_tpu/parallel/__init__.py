@@ -7,6 +7,7 @@ from sat_tpu.parallel.train_step import (
     make_eval_step,
     make_bank_train_step,
     make_bank_train_block,
+    make_bank_eval_block,
     make_bank_eval_step,
     init_train_state,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "make_eval_step",
     "make_bank_train_step",
     "make_bank_train_block",
+    "make_bank_eval_block",
     "make_bank_eval_step",
     "init_train_state",
 ]

@@ -226,6 +226,39 @@ def make_bank_train_block(dcfg: DecoderConfig, alpha_c: float,
     return jax.jit(block_fn, donate_argnums=(0,))
 
 
+def make_bank_eval_block(dcfg: DecoderConfig, alpha_c: float):
+    """K eval batches in ONE dispatch (the eval twin of
+    `make_bank_train_block`): `lax.scan` over stacked (K, B) index blocks,
+    returning stacked metrics and argmax tokens. The per-batch eval loop
+    pays ~5 host round trips per batch (4 scalar metric syncs + the token
+    readback); the blocked loop pays 2 bulk fetches per K batches.
+    Alphas are not returned — the blocked path serves VALIDATION, where
+    nothing consumes them (attention viz is TEST-only), so XLA drops their
+    (K, B, T, L) stacking entirely.
+
+    Returns jitted `block(params, feat_bank (U, L, D), caps_bank (N, T),
+    img_idx (K, B), row_idx (K, B), row_mask (K, B)) -> (metrics, tokens)`
+    with each metrics leaf stacked to (K,) and tokens (K, B, T-1).
+    """
+
+    def block_fn(params, feat_bank, caps_bank, img_idx, row_idx, row_mask):
+        def one_batch(carry, xs):
+            ii, ri, mask = xs
+            features = feat_bank[ii].astype(jnp.float32)
+            captions = caps_bank[ri]
+            _, (metrics, preds, _alphas) = _loss_and_metrics(
+                dcfg, alpha_c, params, features, captions, None, False,
+                mask)
+            pred_tokens = preds.argmax(axis=2).astype(jnp.int32)
+            return carry, (metrics, pred_tokens)
+
+        _, (metrics, tokens) = jax.lax.scan(
+            one_batch, 0, (img_idx, row_idx, row_mask))
+        return metrics, tokens
+
+    return jax.jit(block_fn)
+
+
 def make_bank_eval_step(dcfg: DecoderConfig, alpha_c: float):
     """Feature-bank eval step: indices in, metrics + argmax tokens +
     alphas out."""

@@ -170,3 +170,39 @@ def test_steps_per_dispatch_preempt_at_block_boundary(data_root, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr_ref.state.params),
                     jax.tree_util.tree_leaves(tr2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blocked_validation_parity(data_root, tmp_path, capsys):
+    """Blocked validation (--steps-per-dispatch K) must be BIT-identical to
+    the per-batch eval pipeline: same meters, same printed batch lines,
+    same BLEU, same returned dict. batch_size=3 over the 4 val rows ->
+    [3, 1]: one (1, 3) block plus the partial tail through the per-batch
+    step."""
+    import jax
+    from sat_tpu.engine.loop import Trainer
+    runs = {}
+    for K in (1, 2):
+        tr = Trainer(_cfg(data_root, tmp_path / f"v{K}", cache_features=True,
+                          batch_size=3, steps_per_dispatch=K))
+        assert (tr.eval_block is not None) == (K > 1)
+        capsys.readouterr()                      # drop construction chatter
+        res = tr.validate(1)
+        out = capsys.readouterr().out
+        runs[K] = (res, [l for l in out.splitlines()
+                         if l.startswith("EvalMode")])
+    assert runs[2][1] == runs[1][1] and len(runs[1][1]) > 0
+    assert runs[2][0] == runs[1][0]
+
+
+def test_blocked_validation_preempt(data_root, tmp_path):
+    """A preemption request during blocked validation checkpoints the epoch
+    as complete and raises, mirroring the per-batch eval loop."""
+    import pytest as _pytest
+    from sat_tpu.engine.loop import Trainer, TrainingPreempted
+    from sat_tpu.engine import checkpoint as ckpt
+    tr = Trainer(_cfg(data_root, tmp_path, cache_features=True,
+                      batch_size=2, steps_per_dispatch=2))
+    tr.request_preempt()
+    with _pytest.raises(TrainingPreempted):
+        tr.validate(1)
+    assert ckpt.latest_train_state_step(str(tmp_path)) is not None

@@ -35,6 +35,10 @@ def main():
                     help="optimizer steps per timed segment (multiple of k)")
     ap.add_argument("--reps", type=int, default=4,
                     help="timed segments per mode, interleaved")
+    ap.add_argument("--eval", action="store_true",
+                    help="A/B the eval path (make_bank_eval_block vs "
+                         "per-batch eval step + token readback) instead "
+                         "of the train path")
     args = ap.parse_args()
     assert args.steps % args.k == 0
 
@@ -69,7 +73,46 @@ def main():
     def batch_idx(i):
         return np.asarray((np.arange(B) + i * B) % U, np.int32)
 
-    def run_per_batch(state, step0, n):
+    if args.eval:
+        from sat_tpu.parallel import (make_bank_eval_block,
+                                      make_bank_eval_step)
+        ev = make_bank_eval_step(cfg, alpha_c=1.0)
+        ev_block = make_bank_eval_block(cfg, alpha_c=1.0)
+        params = state.params
+
+        def run_per_batch(state, step0, n):
+            """Per-batch eval protocol: 4 scalar syncs + token readback,
+            one batch behind (engine/loop.py _eval_per_batch/finish)."""
+            pending = None
+            for i in range(n):
+                idx = batch_idx(step0 + i)
+                m, toks, _al = ev(params, feats, caps, idx, idx, mask)
+                if pending is not None:
+                    pm, pt = pending
+                    _ = (float(pm["loss"]), float(pm["acc1"]),
+                         float(pm["acc5"]), int(pm["caption_length"]),
+                         np.asarray(pt))
+                pending = (m, toks)
+            pm, pt = pending
+            _ = (float(pm["loss"]), np.asarray(pt))
+            return state
+
+        def run_blocked(state, step0, n):
+            """Blocked eval protocol: one device_get of stacked metrics +
+            one token fetch per K batches (engine/loop.py _eval_blocked)."""
+            pending = None
+            for b in range(n // K):
+                s0 = step0 + b * K
+                ii = np.stack([batch_idx(s0 + j) for j in range(K)])
+                mm = np.ones((K, B), bool)
+                mk, tk = ev_block(params, feats, caps, ii, ii, mm)
+                if pending is not None:
+                    _ = (jax.device_get(pending[0]), np.asarray(pending[1]))
+                pending = (mk, tk)
+            _ = (jax.device_get(pending[0]), np.asarray(pending[1]))
+            return state
+
+    def run_per_batch_train(state, step0, n):
         """n per-batch dispatches with one-behind metric float() reads."""
         pending = None
         for i in range(n):
@@ -85,7 +128,7 @@ def main():
              float(pending["acc5"]), int(pending["caption_length"]))
         return state
 
-    def run_blocked(state, step0, n):
+    def run_blocked_train(state, step0, n):
         """n/K block dispatches with one-behind device_get per block."""
         pending = None
         for b in range(n // K):
@@ -99,6 +142,9 @@ def main():
             pending = mk
         _ = jax.device_get(pending)
         return state
+
+    if not args.eval:
+        run_per_batch, run_blocked = run_per_batch_train, run_blocked_train
 
     # warm both programs (compile) + one spare to fill caches
     t0 = time.perf_counter()
@@ -120,7 +166,8 @@ def main():
 
     a = float(np.median(walls["per_batch"]))
     b = float(np.median(walls["blocked"]))
-    print({"batch": B, "k": K, "steps_per_segment": S, "reps": args.reps,
+    print({"path": "eval" if args.eval else "train",
+           "batch": B, "k": K, "steps_per_segment": S, "reps": args.reps,
            "per_batch_ms_per_step": round(a, 2),
            "blocked_ms_per_step": round(b, 2),
            "per_batch_rows_per_sec": round(B / a * 1e3, 1),
