@@ -109,6 +109,37 @@ def main():
             print(f"PREEMPT_OFFSET {int(restored['epoch'])} "
                   f"{int(restored['batch_offset'])}", flush=True)
 
+        # Blocked dispatch under 2 processes (--steps-per-dispatch):
+        # exercises _put_indices_block's make_array_from_process_local_data
+        # branch (the (K, B) global block assembly) and blocked
+        # validation's bulk stacked gathers — must be BIT-identical to
+        # per-batch dispatch on the same global mesh. 16 train rows /
+        # global batch 8 -> 2 batches -> one K=2 block, no tail.
+        import numpy as np
+        results = {}
+        for K in (1, 2):
+            cfg = Config(data=data_root, network="vgg19", image_size=32,
+                         batch_size=local_bs, epochs=1, tf=True,
+                         attention=True, log_interval=100,
+                         perform_test=False,
+                         checkpoint_dir=data_root + f"/ckpt_blk{K}",
+                         cache_features=True, steps_per_dispatch=K)
+            tr = Trainer(cfg)
+            assert (tr.train_block is not None) == (K > 1)
+            assert (tr.eval_block is not None) == (K > 1)
+            tr.train_epoch(1)
+            params = jax.tree_util.tree_map(
+                lambda x: np.asarray(tr._host_read(x)), tr.state.params)
+            results[K] = (params, int(tr.state.step), tr.validate(0))
+        assert results[1][1] == results[2][1] == 2
+        for a, b in zip(jax.tree_util.tree_leaves(results[1][0]),
+                        jax.tree_util.tree_leaves(results[2][0])):
+            np.testing.assert_array_equal(a, b)
+        print("BLOCKED_TRAIN_OK", flush=True)
+        assert results[1][2] == results[2][2], (results[1][2],
+                                                results[2][2])
+        print("BLOCKED_VAL_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

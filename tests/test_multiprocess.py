@@ -120,6 +120,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     # processes must have checkpointed at the SAME batch offset (the save
     # is a cross-process collective — an uncoordinated flag deadlocks or
     # diverges) and neither may have finished the epoch
+    # blocked dispatch (--steps-per-dispatch) under 2 processes must be
+    # bit-identical to per-batch dispatch: train params, step count, and
+    # the full blocked-validation result (asserted inside each worker)
+    for out in outs:
+        assert "BLOCKED_TRAIN_OK" in out, out[-3000:]
+        assert "BLOCKED_VAL_OK" in out, out[-3000:]
+
     offsets = []
     for out in outs:
         lines = [l for l in out.splitlines()
