@@ -39,6 +39,8 @@ def bench_stubs(monkeypatch):
                         lambda backbone: (20.0, 55.0, 27.9))
     monkeypatch.setattr(bench, "measure_train",
                         lambda bf16=False: (11000.0, 1.0e12, 10.0))
+    monkeypatch.setattr(bench, "measure_train_blocked",
+                        lambda **kw: 6100.0)
     return monkeypatch
 
 
@@ -138,3 +140,30 @@ def test_latency_gate_retries_glitch(bench_stubs, capsys):
     line, err = _run(bench_stubs, capsys, [2600.0])
     assert line["single_image_latency_ms"] == 1.62
     assert "implausible latency discarded" in err
+
+
+def test_blocked_train_low_sample_retried_best_kept(bench_stubs, capsys):
+    samples = iter([2000.0, 6500.0])
+    bench_stubs.setattr(bench, "measure_train_blocked",
+                        lambda **kw: next(samples))
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_blocked_rows_per_sec_wall"] == 6500.0
+    assert "train_blocked_rows_per_sec_wall_note" not in line
+    assert "blocked train below documented band" in err
+
+
+def test_blocked_train_glitch_discarded(bench_stubs, capsys):
+    samples = iter([500000.0, 6100.0])
+    bench_stubs.setattr(bench, "measure_train_blocked",
+                        lambda **kw: next(samples))
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_blocked_rows_per_sec_wall"] == 6100.0
+    assert "implausible blocked-train measurement discarded" in err
+
+
+def test_blocked_train_still_low_annotated(bench_stubs, capsys):
+    bench_stubs.setattr(bench, "measure_train_blocked", lambda **kw: 1500.0)
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_blocked_rows_per_sec_wall"] == 1500.0
+    assert "slow tunnel phase" in \
+        line["train_blocked_rows_per_sec_wall_note"]
