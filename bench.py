@@ -190,7 +190,7 @@ def measure_train_blocked(k: int = 8, batch: int = 64, steps: int = 32,
     cfg = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
                         use_ado=True, use_attention=True)
     params = _init_on_host(init_decoder_params, jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params)
+    state = _init_on_host(init_train_state, params)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(U, GRID, ENC_DIM))
                         .astype(np.float32))
@@ -481,6 +481,13 @@ def main():
                 line["train_blocked_rows_per_sec_wall_note"] = (
                     "below documented ~6,100 rows/s wall-clock band after "
                     "retry — slow tunnel phase, not the program")
+            elif best > 1.8 * 6_100:
+                # wall-clock of completed work can't genuinely beat the
+                # ~10k rows/s device roofline; same annotation the
+                # slope-based train legs apply above their bands
+                line["train_blocked_rows_per_sec_wall_note"] = (
+                    "above documented ~6,100 rows/s band — possible clock "
+                    "glitch; treat as upper bound")
     except Exception as e:
         print(f"blocked train bench failed ({e})", file=sys.stderr)
     signal.alarm(150)

@@ -652,13 +652,7 @@ class Trainer:
         bank = self.bank["train"]
         idx_batches = [idxs for (_imgs, _caps, _all, idxs)
                        in self.train_loader.epoch(epoch)][skip:]
-        # only the trailing batch can be undersized (contiguous splits)
-        tail = None
-        if idx_batches and len(idx_batches[-1]) != cfg.batch_size:
-            tail = idx_batches.pop()
-        blocks = [idx_batches[i:i + K]
-                  for i in range(0, len(idx_batches), K)]
-        poll_every = max(1, self.PREEMPT_SYNC_EVERY // K)
+        blocks, tail, poll_every = self._block_schedule(idx_batches, K)
 
         def finish_block(start_idx, metrics_k):
             # One bulk device->host fetch for the whole stacked pytree:
@@ -889,6 +883,20 @@ class Trainer:
         while pending:
             finish(*pending.popleft())
 
+    def _block_schedule(self, items, K, size_fn=len):
+        """Shared chunking for the blocked train and eval epoch bodies, so
+        their block layout and preempt-poll cadence cannot diverge: cut
+        the epoch's batch list into K-sized blocks, split off an
+        undersized trailing batch (only the last can be short — contiguous
+        splits) for per-batch dispatch, and poll for preemption every
+        ~PREEMPT_SYNC_EVERY batches' worth of blocks. `items` is consumed
+        (the tail is popped in place)."""
+        tail = None
+        if items and size_fn(items[-1]) != self.cfg.batch_size:
+            tail = items.pop()
+        blocks = [items[i:i + K] for i in range(0, len(items), K)]
+        return blocks, tail, max(1, self.PREEMPT_SYNC_EVERY // K)
+
     def _preempt_eval(self, epoch):
         self.save_epoch(epoch)
         print(f"Preempted during validation of epoch {epoch}: "
@@ -912,11 +920,8 @@ class Trainer:
         split = loader.split
         bank = self.bank[split]
         batches = list(loader.epoch(epoch))
-        tail = None
-        if batches and batches[-1][1].shape[0] != cfg.batch_size:
-            tail = batches.pop()
-        blocks = [batches[i:i + K] for i in range(0, len(batches), K)]
-        poll_every = max(1, self.PREEMPT_SYNC_EVERY // K)
+        blocks, tail, poll_every = self._block_schedule(
+            batches, K, size_fn=lambda b: b[1].shape[0])
 
         def finish_block(start_idx, chunk, metrics_k, toks_k):
             metrics_k = jax.device_get(metrics_k)

@@ -192,7 +192,7 @@ def make_bank_train_block(dcfg: DecoderConfig, alpha_c: float,
     dropout key is derived in-graph as `fold_in(base_rng, step0 + i)` —
     the exact host-side derivation the per-batch loop uses
     (engine/loop.py train_epoch). Asserted by
-    tests/test_engine.py::test_steps_per_dispatch_parity.
+    tests/test_feature_cache.py::test_steps_per_dispatch_parity.
 
     Returns jitted `block(state, feat_bank (U, L, D), caps_bank (N, T),
     img_idx (K, B), row_idx (K, B), lr, base_rng, step0, row_mask (K, B))

@@ -167,3 +167,11 @@ def test_blocked_train_still_low_annotated(bench_stubs, capsys):
     assert line["train_blocked_rows_per_sec_wall"] == 1500.0
     assert "slow tunnel phase" in \
         line["train_blocked_rows_per_sec_wall_note"]
+
+
+def test_blocked_train_high_annotated_as_upper_bound(bench_stubs, capsys):
+    bench_stubs.setattr(bench, "measure_train_blocked",
+                        lambda **kw: 25_000.0)
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["train_blocked_rows_per_sec_wall"] == 25_000.0
+    assert "upper bound" in line["train_blocked_rows_per_sec_wall_note"]

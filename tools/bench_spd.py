@@ -19,12 +19,13 @@ Usage: python tools/bench_spd.py [--batch 64] [--k 8] [--steps 64]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -57,7 +58,7 @@ def main():
                         use_ado=True, use_attention=True)
     rng = np.random.default_rng(0)
     params = init_on_host(init_decoder_params, jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params)
+    state = init_on_host(init_train_state, params)
     feats = jnp.asarray(rng.normal(size=(U, L, D)).astype(np.float32))
     caps = jnp.asarray(
         np.concatenate([np.full((U, 1), 1, np.int32),

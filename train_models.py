@@ -43,8 +43,9 @@ EXPERIMENTS = {
     "resnet-att": ["--data=data/flickr8k", "--epochs=8", "--tf", "--ado",
                    "--attention", "--network=resnet152"],
     # Production-fast variant of the headline config: HBM feature bank +
-    # K-step dispatch blocks. Bit-identical training trajectory to
-    # plain-att (asserted by tests); wall-clock is bounded by device time
+    # K-step dispatch blocks. Bit-identical to per-batch --cache-features
+    # training, float32-tolerance-identical to plain-att's image path
+    # (both asserted by tests); wall-clock is bounded by device time
     # instead of host link latency.
     "plain-att-fast": ["--data=data/flickr8k", "--epochs=8", "--tf",
                        "--ado", "--attention", "--cache-features",
