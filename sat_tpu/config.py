@@ -118,6 +118,12 @@ class Config:
                                    # bit-identical numerics/meters/stdout).
                                    # 1 = per-batch dispatch, and the only
                                    # mode available off the feature bank
+    feature_cache_dir: str = ""    # persist precomputed frozen-encoder
+                                   # features to disk, keyed by (network,
+                                   # image size, encoder-weights source,
+                                   # dataset, split, fraction); reruns
+                                   # skip the whole encoder precompute
+                                   # pass ("" = recompute every run)
     keep_checkpoints: int = 0      # keep only the newest N orbax
                                    # train-state checkpoints (0 = keep all,
                                    # the reference-like default); decoder
@@ -271,6 +277,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "numerics, K-fold fewer host round trips "
                              "(default 1; needs --cache-features with the "
                              "bank resident in HBM)")
+    parser.add_argument("--feature-cache-dir", type=str, default="",
+                        help="persist precomputed frozen-encoder features "
+                             "to this directory (keyed by network/size/"
+                             "weights/dataset/split); reruns skip the "
+                             "encoder precompute pass entirely")
     parser.add_argument("--keep-checkpoints", type=int, default=0,
                         help="prune orbax train-state checkpoints beyond "
                              "the newest N (0 = keep all)")

@@ -376,20 +376,65 @@ class Trainer:
         return jax.make_array_from_callback(arr.shape, sharding,
                                             lambda idx: arr[idx])
 
+    def _feature_cache_key(self, split, unique_paths) -> str:
+        """Disk-cache key for a split's precomputed features: everything
+        the feature tensor is a function of — encoder config, image size,
+        the encoder-weight SOURCE (ported .npz identified by path + size +
+        mtime, or the init seed for random weights), and the exact unique
+        image list. An mtime/size change on the weights file changes the
+        key, so staleness can only cause a recompute, never a wrong hit."""
+        import hashlib
+        cfg = self.cfg
+        if cfg.encoder_weights:
+            st = os.stat(cfg.encoder_weights)
+            src = f"npz:{os.path.abspath(cfg.encoder_weights)}:" \
+                  f"{st.st_size}:{int(st.st_mtime)}"
+        else:
+            src = f"seed:{cfg.seed}"
+        h = hashlib.sha1()
+        h.update("\n".join([cfg.network, str(cfg.image_size),
+                            str(bool(cfg.bf16_encoder)), src, split]
+                           + list(unique_paths)).encode())
+        return h.hexdigest()[:16]
+
     def _precompute_split_features(self, ds, batch: int = 16):
         """Encode each unique image once; returns (features (U, L, D) np,
-        row_map (N,) mapping dataset rows to feature rows)."""
+        row_map (N,) mapping dataset rows to feature rows).
+
+        The encode loop runs ONE CHUNK BEHIND: chunk N+1's host-side image
+        loading and dispatch overlap the device encode + 8MB readback of
+        chunk N (the tunnel round trip is the documented 1-200ms swing; a
+        synchronous per-chunk np.asarray serialized all of it). With
+        --feature-cache-dir the finished (U, L, D) tensor persists to disk
+        keyed by `_feature_cache_key`, and reruns skip the encoder pass
+        entirely — features are a pure function of the frozen encoder and
+        the image, so the cache can never go stale silently."""
         import jax.numpy as _jnp
         cfg = self.cfg
         first_row = {}
         for i, p in enumerate(ds.img_paths):
             first_row.setdefault(p, i)
         unique = list(first_row)
+        path_idx = {p: i for i, p in enumerate(unique)}
+        row_map = np.asarray([path_idx[p] for p in ds.img_paths], np.int32)
+
+        cache_file = None
+        if cfg.feature_cache_dir:
+            key = self._feature_cache_key(ds.split_type, unique)
+            cache_file = os.path.join(cfg.feature_cache_dir,
+                                      f"feats_{ds.split_type}_{key}.npz")
+            if os.path.exists(cache_file):
+                feats = np.load(cache_file)["feats"]
+                print(f"Loaded cached features for {len(unique)} images "
+                      f"from {cache_file}")
+                return feats, row_map
+
         compute_dtype = _jnp.bfloat16 if cfg.bf16_encoder else None
         from sat_tpu.models.encoder import encoder_forward
         enc_fn = jax.jit(lambda e, x: encoder_forward(e, cfg.network, x,
                                                       compute_dtype))
         chunks = []
+        pending = None
         for start in range(0, len(unique), batch):
             chunk = unique[start:start + batch]
             imgs = np.stack([ds.load_image(first_row[p]) for p in chunk])
@@ -397,11 +442,24 @@ class Trainer:
                 imgs = np.concatenate(
                     [imgs, np.zeros((batch - len(chunk),) + imgs.shape[1:],
                                     imgs.dtype)])
-            chunks.append(np.asarray(enc_fn(self.enc_params, imgs))[:len(chunk)])
-        path_idx = {p: i for i, p in enumerate(unique)}
-        row_map = np.asarray([path_idx[p] for p in ds.img_paths], np.int32)
+            out = enc_fn(self.enc_params, imgs)     # async dispatch
+            if pending is not None:
+                chunks.append(np.asarray(pending[0])[:pending[1]])
+            pending = (out, len(chunk))
+        if pending is not None:
+            chunks.append(np.asarray(pending[0])[:pending[1]])
         feats = (np.concatenate(chunks) if chunks
                  else np.zeros((0, 1, cfg.encoder_dim), np.float32))
+
+        if cache_file is not None and jax.process_index() == 0:
+            # atomic publish: a killed run must never leave a truncated
+            # cache entry that a rerun would load (multi-host: every host
+            # computes identical features; only process 0 publishes)
+            os.makedirs(cfg.feature_cache_dir, exist_ok=True)
+            tmp = cache_file + f".{os.getpid()}.tmp.npz"
+            np.savez(tmp, feats=feats)
+            os.replace(tmp, cache_file)
+            print(f"Saved feature cache: {cache_file}")
         return feats, row_map
 
     def _step_inputs(self, split, imgs, idxs):

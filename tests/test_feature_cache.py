@@ -206,3 +206,26 @@ def test_blocked_validation_preempt(data_root, tmp_path):
     with _pytest.raises(TrainingPreempted):
         tr.validate(1)
     assert ckpt.latest_train_state_step(str(tmp_path)) is not None
+
+
+def test_feature_cache_dir_roundtrip(data_root, tmp_path, capsys):
+    """--feature-cache-dir: first run publishes per-split feature files,
+    second run loads them bit-identically without re-encoding; a different
+    encoder-weight source (here: a different init seed) must MISS."""
+    from sat_tpu.engine.loop import Trainer
+    kw = dict(cache_features=True, batch_size=2,
+              feature_cache_dir=str(tmp_path / "fc"))
+    tr1 = Trainer(_cfg(data_root, tmp_path / "a", **kw))
+    out1 = capsys.readouterr().out
+    assert out1.count("Saved feature cache") == 3          # train/val/test
+    tr2 = Trainer(_cfg(data_root, tmp_path / "b", **kw))
+    out2 = capsys.readouterr().out
+    assert out2.count("Loaded cached features") == 3
+    assert "Saved feature cache" not in out2
+    for split in ("train", "val", "test"):
+        np.testing.assert_array_equal(tr1.features[split],
+                                      tr2.features[split])
+    tr3 = Trainer(_cfg(data_root, tmp_path / "c", seed=12, **kw))
+    out3 = capsys.readouterr().out
+    assert "Loaded cached features" not in out3
+    assert out3.count("Saved feature cache") == 3
