@@ -229,3 +229,22 @@ def test_feature_cache_dir_roundtrip(data_root, tmp_path, capsys):
     out3 = capsys.readouterr().out
     assert "Loaded cached features" not in out3
     assert out3.count("Saved feature cache") == 3
+
+
+def test_blocked_validation_multiblock_parity(data_root, tmp_path, capsys):
+    """batch_size=1 over the 4 val rows -> 4 full batches; K=2 -> two
+    (2, 1) blocks, exercising the one-behind pending chain between eval
+    blocks (the single-block case never holds a pending block while
+    dispatching another). Must match per-batch bitwise."""
+    from sat_tpu.engine.loop import Trainer
+    runs = {}
+    for K in (1, 2):
+        tr = Trainer(_cfg(data_root, tmp_path / f"m{K}", cache_features=True,
+                          batch_size=1, steps_per_dispatch=K))
+        capsys.readouterr()
+        res = tr.validate(1)
+        out = capsys.readouterr().out
+        runs[K] = (res, [l for l in out.splitlines()
+                         if l.startswith("EvalMode")])
+    assert runs[2][1] == runs[1][1] and len(runs[1][1]) > 0
+    assert runs[2][0] == runs[1][0]
