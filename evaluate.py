@@ -25,6 +25,12 @@ def main():
     parser.add_argument("--encoder-weights", type=str, default=None)
     parser.add_argument("--bert-vocab", type=str, default=None)
     parser.add_argument("--cache-features", action="store_true", default=False)
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="blocked validation: K eval batches per jitted "
+                             "dispatch (needs --cache-features; identical "
+                             "results, K-fold fewer host round trips)")
+    parser.add_argument("--feature-cache-dir", type=str, default="",
+                        help="persist/reuse precomputed encoder features")
     args = parser.parse_args()
 
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
@@ -46,6 +52,10 @@ def main():
         overrides["bert_vocab"] = args.bert_vocab
     if args.cache_features:
         overrides["cache_features"] = True
+    if args.steps_per_dispatch > 1:
+        overrides["steps_per_dispatch"] = args.steps_per_dispatch
+    if args.feature_cache_dir:
+        overrides["feature_cache_dir"] = args.feature_cache_dir
     cfg = Config.from_model_config(config_path, **overrides)
 
     trainer = Trainer(cfg)
