@@ -321,11 +321,14 @@ class Trainer:
                 self.eval_block = make_bank_eval_block(self.dcfg,
                                                        cfg.alpha_c)
                 self.block_sharding = block_batch_sharding(self.mesh)
-        elif cfg.steps_per_dispatch > 1:
-            print("--steps-per-dispatch needs the HBM feature bank "
-                  "(--cache-features within --feature-bank-hbm-gb); "
-                  "falling back to per-batch dispatch")
         else:
+            if cfg.steps_per_dispatch > 1:
+                # warn, then STILL build the per-batch steps below — this
+                # was an elif that skipped them, so the promised fallback
+                # crashed with AttributeError instead (review r3)
+                print("--steps-per-dispatch needs the HBM feature bank "
+                      "(--cache-features within --feature-bank-hbm-gb); "
+                      "falling back to per-batch dispatch")
             self.train_step = make_train_step(self.dcfg, cfg.network,
                                               cfg.alpha_c, cfg.bf16_encoder,
                                               from_features=cfg.cache_features,
@@ -379,10 +382,13 @@ class Trainer:
     def _feature_cache_key(self, split, unique_paths) -> str:
         """Disk-cache key for a split's precomputed features: everything
         the feature tensor is a function of — encoder config, image size,
-        the encoder-weight SOURCE (ported .npz identified by path + size +
-        mtime, or the init seed for random weights), and the exact unique
-        image list. An mtime/size change on the weights file changes the
-        key, so staleness can only cause a recompute, never a wrong hit."""
+        the preprocessing path (native decode is only ±1 uint8 of PIL on
+        JPEG, so it is a numerics input), the encoder-weight SOURCE
+        (ported .npz identified by path + size + mtime, or the init seed
+        for random weights), and each unique image's absolute path + size
+        + mtime. Any change — weights file, an image regenerated in
+        place, the loader toggle — changes the key, so staleness can only
+        cause a recompute, never a wrong hit."""
         import hashlib
         cfg = self.cfg
         if cfg.encoder_weights:
@@ -391,10 +397,16 @@ class Trainer:
                   f"{st.st_size}:{int(st.st_mtime)}"
         else:
             src = f"seed:{cfg.seed}"
+        preproc = ("native"
+                   if os.environ.get("SAT_NATIVE_PREPROC") == "1" else "pil")
         h = hashlib.sha1()
         h.update("\n".join([cfg.network, str(cfg.image_size),
-                            str(bool(cfg.bf16_encoder)), src, split]
-                           + list(unique_paths)).encode())
+                            str(bool(cfg.bf16_encoder)), preproc, src,
+                            split]).encode())
+        for p in unique_paths:
+            st = os.stat(p)
+            h.update(f"\n{os.path.abspath(p)}:{st.st_size}:"
+                     f"{int(st.st_mtime)}".encode())
         return h.hexdigest()[:16]
 
     def _precompute_split_features(self, ds, batch: int = 16):

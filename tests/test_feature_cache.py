@@ -1,6 +1,8 @@
 """Feature-cache training path: identical numerics to the image path
 (frozen eval-mode encoder), faster epochs, loaders skip pixels."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -248,3 +250,40 @@ def test_blocked_validation_multiblock_parity(data_root, tmp_path, capsys):
                          if l.startswith("EvalMode")])
     assert runs[2][1] == runs[1][1] and len(runs[1][1]) > 0
     assert runs[2][0] == runs[1][0]
+
+
+def test_steps_per_dispatch_without_bank_falls_back(data_root, tmp_path,
+                                                    capsys):
+    """--steps-per-dispatch without the HBM bank must warn and actually
+    run per-batch (review r3: the warning branch skipped building the
+    per-batch steps entirely and crashed with AttributeError)."""
+    from sat_tpu.engine.loop import Trainer
+    tr = Trainer(_cfg(data_root, tmp_path, cache_features=False,
+                      batch_size=4, steps_per_dispatch=8))
+    out = capsys.readouterr().out
+    assert "falling back to per-batch dispatch" in out
+    assert tr.train_block is None and tr.eval_block is None
+    tr.train_epoch(1)
+    assert int(tr.state.step) == 2
+    res = tr.validate(1)
+    assert np.isfinite(res["loss"])
+
+
+def test_feature_cache_dir_invalidates_on_image_change(data_root, tmp_path,
+                                                       capsys):
+    """Regenerating an image in place (same path, new mtime) must MISS the
+    feature cache — the key fingerprints each image file, not just its
+    path (review r3)."""
+    import glob
+    from sat_tpu.engine.loop import Trainer
+    kw = dict(cache_features=True, batch_size=2,
+              feature_cache_dir=str(tmp_path / "fc"))
+    Trainer(_cfg(data_root, tmp_path / "a", **kw))
+    img = sorted(glob.glob(f"{data_root}/imgs/*.png"))[0]
+    os.utime(img, (os.path.getmtime(img) + 10,) * 2)
+    capsys.readouterr()
+    Trainer(_cfg(data_root, tmp_path / "b", **kw))
+    out = capsys.readouterr().out
+    # the touched image lives in exactly one split -> one miss, two hits
+    assert out.count("Saved feature cache") == 1
+    assert out.count("Loaded cached features") == 2
