@@ -198,21 +198,8 @@ def measure_train_blocked(k: int = 8, batch: int = 64, steps: int = 32,
     base_rng = jax.random.PRNGKey(1)
     lr = jnp.float32(1e-4)
     block = make_bank_train_block(cfg, alpha_c=1.0)
-    mask = np.ones((k, B), bool)
-
-    def run(state, step0, n):
-        pending = None
-        for b in range(n // k):
-            s0 = step0 + b * k
-            ii = np.stack([(np.arange(B) + (s0 + j) * B) % U
-                           for j in range(k)]).astype(np.int32)
-            state, mk = block(state, feats, caps, ii, ii, lr, base_rng,
-                              jnp.int32(s0), mask)
-            if pending is not None:
-                jax.device_get(pending)
-            pending = mk
-        jax.device_get(pending)
-        return state
+    from sat_tpu.utils.benchmarks import blocked_train_runner
+    run = blocked_train_runner(block, feats, caps, lr, base_rng, k, B, U)
 
     state = run(state, 0, k)              # compile + warm
     walls = []
@@ -225,7 +212,11 @@ def measure_train_blocked(k: int = 8, batch: int = 64, steps: int = 32,
     return float(np.median(walls))
 
 
-def measure_encoder(network: str, batch: int = 32):
+def measure_encoder(network: str, batch: int = 64):
+    # B=64 matches the documented encoder band (CLAUDE.md round-3: 59.3%
+    # MFU at B=64) and tools/bench_encoder.py's default, so the artifact
+    # field is comparable to both (review r3: a B=32 sample read as a
+    # regression against the B=64 band).
     """Flagship-encoder forward (f32 parity path): device ms/batch, TFLOP/s
     and MFU vs the v5e bf16 peak (VERDICT r2 weak #3 — the encoder is ~75%
     of serving e2e; its utilization belongs in the artifact). Shared

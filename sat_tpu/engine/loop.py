@@ -394,7 +394,7 @@ class Trainer:
         if cfg.encoder_weights:
             st = os.stat(cfg.encoder_weights)
             src = f"npz:{os.path.abspath(cfg.encoder_weights)}:" \
-                  f"{st.st_size}:{int(st.st_mtime)}"
+                  f"{st.st_size}:{st.st_mtime_ns}"
         else:
             src = f"seed:{cfg.seed}"
         preproc = ("native"
@@ -406,7 +406,7 @@ class Trainer:
         for p in unique_paths:
             st = os.stat(p)
             h.update(f"\n{os.path.abspath(p)}:{st.st_size}:"
-                     f"{int(st.st_mtime)}".encode())
+                     f"{st.st_mtime_ns}".encode())
         return h.hexdigest()[:16]
 
     def _precompute_split_features(self, ds, batch: int = 16):
@@ -753,8 +753,14 @@ class Trainer:
             if self._preempt_coordinated(
                     poll_override=(blk_i % poll_every == poll_every - 1)
                     or last):
+                # Finish the in-flight block TOO, not just the pending one:
+                # its K batches are trained and will be skipped on resume,
+                # so dropping their metrics would leave up to K stdout/
+                # logger rows permanently missing from the stitched run
+                # (the per-batch loop loses at most 1; review r3).
                 if pending:
                     finish_block(*pending)
+                finish_block(start_idx, metrics_k)
                 end = start_idx + len(chunk)
                 self._save_train_state(epoch, batch_offset=end)
                 print(f"Preempted at epoch {epoch} batch {end}: "
@@ -776,6 +782,7 @@ class Trainer:
                     "train", None, None, tail, lr, rng)
             self._host_step += 1
             if self._preempt_coordinated(batch_idx, n_batches):
+                finish(batch_idx, metrics)   # trained + skipped on resume
                 self._save_train_state(epoch, batch_offset=batch_idx + 1)
                 print(f"Preempted at epoch {epoch} batch {batch_idx + 1}: "
                       f"train state saved; rerun with --resume to continue")

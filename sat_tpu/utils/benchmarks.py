@@ -86,3 +86,35 @@ def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
         out["mfu_pct_vs_bf16_peak"] = round(
             flops / dt / V5E_PEAK_FLOPS * 100, 1)
     return out
+
+
+def blocked_train_runner(block, feats, caps, lr, base_rng, k, batch,
+                         n_bank):
+    """One-behind blocked-dispatch driver — the engine/loop.py blocked-epoch
+    protocol (dispatch a (k, B) index block, bulk device_get the PREVIOUS
+    block's stacked metrics), shared by bench.py's
+    measure_train_blocked and tools/bench_spd.py so the measured protocol
+    cannot drift between the artifact and the A/B tool.
+
+    Returns `run(state, step0, n_steps) -> state` (n_steps must be a
+    multiple of k)."""
+    import jax
+    import jax.numpy as jnp
+
+    mask = np.ones((k, batch), bool)
+
+    def run(state, step0, n):
+        pending = None
+        for b in range(n // k):
+            s0 = step0 + b * k
+            ii = np.stack([(np.arange(batch) + (s0 + j) * batch) % n_bank
+                           for j in range(k)]).astype(np.int32)
+            state, mk = block(state, feats, caps, ii, ii, lr, base_rng,
+                              jnp.int32(s0), mask)
+            if pending is not None:
+                jax.device_get(pending)
+            pending = mk
+        jax.device_get(pending)
+        return state
+
+    return run

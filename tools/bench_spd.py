@@ -129,20 +129,12 @@ def main():
              float(pending["acc5"]), int(pending["caption_length"]))
         return state
 
-    def run_blocked_train(state, step0, n):
-        """n/K block dispatches with one-behind device_get per block."""
-        pending = None
-        for b in range(n // K):
-            s0 = step0 + b * K
-            ii = np.stack([batch_idx(s0 + j) for j in range(K)])
-            mm = np.ones((K, B), bool)
-            state, mk = block(state, feats, caps, ii, ii, lr, base_rng,
-                              jnp.int32(s0), mm)
-            if pending is not None:
-                _ = jax.device_get(pending)
-            pending = mk
-        _ = jax.device_get(pending)
-        return state
+    # shared with bench.py's measure_train_blocked — one home for the
+    # blocked one-behind protocol so the A/B tool and the artifact leg
+    # cannot measure different things (review r3)
+    from sat_tpu.utils.benchmarks import blocked_train_runner
+    run_blocked_train = blocked_train_runner(block, feats, caps, lr,
+                                             base_rng, K, B, U)
 
     if not args.eval:
         run_per_batch, run_blocked = run_per_batch_train, run_blocked_train
