@@ -317,13 +317,28 @@ def main():
     # Wedge guard: don't start measuring into a dead tunnel — probe, and if
     # wedged give it a couple of recovery windows before proceeding (the
     # in-run watchdogs below still bound the worst case either way).
+    responsive = False
     for attempt in range(3):
         if _tpu_responsive(timeout_s=120):   # cold start + slow phase
+            responsive = True
             break
         print(f"tpu backend unresponsive (probe {attempt + 1}/3)",
               file=sys.stderr)
         if attempt < 2:   # no probe follows the last sleep — skip it
             time.sleep(180)
+    if not responsive:
+        # Do NOT dispatch into a dead tunnel: wedged dispatches block in C
+        # where SIGALRM can fire late or NEVER (observed wedges of 1-6
+        # hours), so proceeding could hang bench past any watchdog and the
+        # driver would record nothing at all. An honest zero line with an
+        # error is strictly better than no artifact.
+        print(json.dumps({
+            "metric": "captions_per_sec_beam5_vgg19_e2e",
+            "value": 0, "unit": "captions/sec/chip", "vs_baseline": 0,
+            "error": "tpu backend unresponsive after 3 probes over ~7 min; "
+                     "not dispatching into a wedged tunnel",
+        }))
+        return
 
     # The tunneled TPU occasionally wedges for tens of minutes (even trivial
     # dispatches hang). A hung bench records nothing; emit whatever was

@@ -175,3 +175,23 @@ def test_blocked_train_high_annotated_as_upper_bound(bench_stubs, capsys):
     line, err = _run(bench_stubs, capsys, [2600.0])
     assert line["train_blocked_rows_per_sec_wall"] == 25_000.0
     assert "upper bound" in line["train_blocked_rows_per_sec_wall_note"]
+
+
+def test_unresponsive_backend_bails_with_honest_zero(bench_stubs, capsys,
+                                                     monkeypatch):
+    """If every probe fails, bench must NOT dispatch into the wedged
+    tunnel (a dispatch blocks in C where SIGALRM can never fire and the
+    driver would record nothing); it prints the honest zero line and
+    exits."""
+    bench_stubs.setattr(bench, "_tpu_responsive",
+                        lambda timeout_s=60: False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    called = []
+    bench_stubs.setattr(bench, "measure_tpu",
+                        lambda fast_mode=False: called.append(1) or 1e9)
+    bench.main()
+    cap = capsys.readouterr()
+    line = json.loads(cap.out.strip().splitlines()[-1])
+    assert line["value"] == 0 and line["vs_baseline"] == 0
+    assert "unresponsive" in line["error"]
+    assert not called                      # nothing dispatched
