@@ -28,19 +28,29 @@ import sat_tpu.utils.compilation_cache as _cc
 
 
 @pytest.fixture
-def bench_stubs(monkeypatch):
+def bench_stubs(monkeypatch, tmp_path):
     """Stub every heavy/device-touching leg of bench.main with healthy
-    defaults; individual tests override the leg under test."""
+    defaults; individual tests override the leg under test. Runs the legs
+    in-process (monkeypatched stubs don't cross the real orchestrator's
+    subprocess boundary) against throwaway partials/run files."""
     monkeypatch.setattr(_cc, "enable_persistent_cache", lambda: None)
+    monkeypatch.setattr(bench, "IN_PROCESS", True)
+    monkeypatch.setenv("SAT_BENCH_PARTIALS", str(tmp_path / "harvest.json"))
+    monkeypatch.setenv("SAT_BENCH_RUN_OUT", str(tmp_path / "run.json"))
     monkeypatch.setattr(bench, "_tpu_responsive", lambda timeout_s=60: True)
     monkeypatch.setattr(bench, "measure_reference", lambda: 2.0)
     monkeypatch.setattr(bench, "measure_latency", lambda: 1.5)
     monkeypatch.setattr(bench, "measure_encoder",
                         lambda backbone: (20.0, 55.0, 27.9))
     monkeypatch.setattr(bench, "measure_train",
-                        lambda bf16=False: (11000.0, 1.0e12, 10.0))
+                        lambda bf16=False: (11000.0, 1.0e12, 10.0, 55.0))
     monkeypatch.setattr(bench, "measure_train_blocked",
                         lambda **kw: 6100.0)
+    monkeypatch.setattr(bench, "measure_resnet_e2e", lambda: 2100.0)
+    monkeypatch.setattr(
+        bench, "measure_resnet_parts",
+        lambda: pytest.fail("parts fallback must not run when the "
+                            "whole-program resnet leg succeeds"))
     return monkeypatch
 
 
@@ -69,6 +79,55 @@ def test_healthy_headline_first_attempt(bench_stubs, capsys):
     assert line["train_rows_per_sec_bf16"] == 11000.0
     assert line["single_image_latency_ms"] == 1.5
     assert line["encoder_vgg19_tflops"] == 55.0
+    # round-4 additions: baseline provenance, sampling policy, the
+    # bandwidth-roofline axis, and the resnet152 e2e leg
+    assert line["baseline_source"] == "live"
+    assert "best plausible" in line["sampling_policy"]
+    assert line["train_hbm_util_pct"] == 55.0
+    assert line["captions_per_sec_beam5_resnet152_e2e"] == 2100.0
+
+
+def test_partials_checkpointed_per_leg(bench_stubs, capsys, tmp_path):
+    """Every completed leg must land in the run checkpoint AND the
+    cumulative harvest file, so a mid-run wedge can't zero the round."""
+    import os
+    _run(bench_stubs, capsys, [2600.0])
+    run = json.loads(open(os.environ["SAT_BENCH_RUN_OUT"]).read())
+    assert run["value"] == 2600.0
+    harvest = json.loads(open(os.environ["SAT_BENCH_PARTIALS"]).read())
+    assert harvest["fields"]["value"] == 2600.0
+    assert harvest["fields"]["train_rows_per_sec"] == 11000.0
+    assert harvest["meta"]["value"]["via"] == "bench"
+    assert "measured_at" in harvest["meta"]["value"]
+
+
+def test_resnet_whole_program_failure_falls_back_to_parts(bench_stubs,
+                                                          capsys):
+    def boom():
+        raise RuntimeError("HTTP 413 from the remote-compile endpoint")
+
+    bench_stubs.setattr(bench, "measure_resnet_e2e", boom)
+    bench_stubs.setattr(
+        bench, "measure_resnet_parts",
+        lambda: {"captions_per_sec_beam5_resnet152_e2e": 1900.0,
+                 "captions_per_sec_beam5_resnet152_e2e_note": "sum of parts",
+                 "encoder_resnet152_tflops": 80.0,
+                 "encoder_resnet152_mfu_pct": 40.6})
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["captions_per_sec_beam5_resnet152_e2e"] == 1900.0
+    assert line["encoder_resnet152_tflops"] == 80.0
+    assert "falling back to parts" in err
+
+
+def test_baseline_fallback_provenance_recorded(bench_stubs, capsys):
+    def fallback_ref():
+        bench._REF_USED_FALLBACK = True
+        return bench.FALLBACK_REF_CAPTIONS_PER_SEC
+
+    bench_stubs.setattr(bench, "measure_reference", fallback_ref)
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert line["baseline_source"] == "fallback_constant"
+    assert line["vs_baseline"] == pytest.approx(2600.0 / 2.2, rel=1e-3)
 
 
 def test_low_headline_retries_and_keeps_best(bench_stubs, capsys):
@@ -103,20 +162,21 @@ def test_train_leg_failure_does_not_skip_other_leg(bench_stubs, capsys):
     def failing_f32(bf16=False):
         if not bf16:
             raise RuntimeError("synthetic f32 failure")
-        return (14000.0, None, None)
+        return (14000.0, None, None, None)
 
     bench_stubs.setattr(bench, "measure_train", failing_f32)
     line, err = _run(bench_stubs, capsys, [2600.0])
     assert "train_rows_per_sec" not in line
     assert line["train_rows_per_sec_bf16"] == 14000.0
-    assert "train bench failed" in err
+    assert "leg train_f32 failed" in err
 
 
 def test_train_low_sample_retried_best_kept(bench_stubs, capsys):
-    samples = iter([(3000.0, 1.0e12, 2.0), (9800.0, 1.0e12, 9.0)])
+    samples = iter([(3000.0, 1.0e12, 2.0, 11.0),
+                    (9800.0, 1.0e12, 9.0, 36.0)])
     bench_stubs.setattr(bench, "measure_train",
                         lambda bf16=False: next(samples)
-                        if not bf16 else (14000.0, None, None))
+                        if not bf16 else (14000.0, None, None, None))
     line, err = _run(bench_stubs, capsys, [2600.0])
     assert line["train_rows_per_sec"] == 9800.0
     assert "train_rows_per_sec_note" not in line
@@ -124,10 +184,11 @@ def test_train_low_sample_retried_best_kept(bench_stubs, capsys):
 
 
 def test_train_implausible_mfu_discarded(bench_stubs, capsys):
-    samples = iter([(706_000.0, 1.0e15, 191.0), (10_500.0, 1.0e12, 9.5)])
+    samples = iter([(706_000.0, 1.0e15, 191.0, 900.0),
+                    (10_500.0, 1.0e12, 9.5, 38.0)])
     bench_stubs.setattr(bench, "measure_train",
                         lambda bf16=False: next(samples)
-                        if not bf16 else (14000.0, None, None))
+                        if not bf16 else (14000.0, None, None, None))
     line, err = _run(bench_stubs, capsys, [2600.0])
     assert line["train_rows_per_sec"] == 10_500.0
     assert line["train_mfu_pct"] == 9.5
@@ -195,3 +256,47 @@ def test_unresponsive_backend_bails_with_honest_zero(bench_stubs, capsys,
     assert line["value"] == 0 and line["vs_baseline"] == 0
     assert "unresponsive" in line["error"]
     assert not called                      # nothing dispatched
+
+
+def _seed_harvest(tmp_harvest_path, fields):
+    bench.merge_partials(tmp_harvest_path, fields, via="measure_now")
+
+
+def test_unresponsive_backend_falls_back_to_harvest(bench_stubs, capsys,
+                                                    monkeypatch):
+    """When every probe fails but the round harvested partials earlier
+    (tools/measure_now.py), the line is composed from those — clearly
+    annotated — with vs_baseline recomputed from a fresh host-CPU
+    reference run, instead of an information-free zero."""
+    import os
+    _seed_harvest(os.environ["SAT_BENCH_PARTIALS"],
+                  {"value": 2700.0, "train_rows_per_sec": 10500.0})
+    bench_stubs.setattr(bench, "_tpu_responsive",
+                        lambda timeout_s=60: False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    cap = capsys.readouterr()
+    line = json.loads(cap.out.strip().splitlines()[-1])
+    assert line["value"] == 2700.0
+    assert line["train_rows_per_sec"] == 10500.0
+    assert line["source"] == "harvested_partials"
+    assert line["vs_baseline"] == pytest.approx(1350.0)
+    assert "harvested" in line["error"]
+    # field -> ISO timestamp of the original measurement
+    assert line["harvest_measured_at"]["value"].startswith("20")
+
+
+def test_failed_live_headline_filled_from_harvest(bench_stubs, capsys):
+    """A live run whose headline glitched out entirely still keeps its
+    other live legs, with the headline (and only the headline family)
+    coming from the harvest, annotated."""
+    import os
+    _seed_harvest(os.environ["SAT_BENCH_PARTIALS"], {"value": 2650.0})
+    line, err = _run(bench_stubs, capsys, [50_000.0, 60_000.0, 70_000.0])
+    assert line["value"] == 2650.0
+    assert line["source"] == "harvested_partials"
+    assert line["vs_baseline"] == pytest.approx(1325.0)
+    # live legs from THIS run survive the merge
+    assert line["train_rows_per_sec"] == 11000.0
+    assert line["single_image_latency_ms"] == 1.5
+    assert "harvested" in line["error"]
