@@ -1,5 +1,5 @@
 # sat_tpu developer targets
-.PHONY: test test-fast bench native demo smoke serve loadtest
+.PHONY: test test-fast test-heavy bench native demo smoke serve loadtest
 
 # captioning daemon (set MODEL=path/to/model.npz)
 serve:
@@ -12,11 +12,16 @@ loadtest:
 test:
 	python -m pytest tests/ -q
 
+# Core tier: the fast regression contract (<15 min on the 1-core pod).
 test-fast:
-	python -m pytest tests/ -q -m "not slow" --ignore=tests/test_engine.py \
-	  --ignore=tests/test_encoder.py --ignore=tests/test_bert_path.py \
-	  --ignore=tests/test_feature_cache.py \
-	  --ignore=tests/test_multiprocess.py
+	python -m pytest tests/ -q -m "not slow and not heavy"
+
+# Heavy tier: multi-minute suites (feature cache ~30 min, multiprocess,
+# engine, encoder/bert goldens, serve). Full-tree certification =
+# test-fast + test-heavy, or just `make test` (~75 min; run suites one at
+# a time on this 1-core pod — two CPU-heavy jobs at once both time out).
+test-heavy:
+	python -m pytest tests/ -q -m "heavy or slow"
 
 native:
 	sh tools/build_native.sh

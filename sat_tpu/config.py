@@ -103,6 +103,13 @@ class Config:
     rep_penalty_beta: float = 0.0  # weight of the reference's dormant
                                    # repetition penalty (train.py:156-159,
                                    # 357-384); 0.0 = reference parity (off)
+    dropout_rate: float = 0.5      # decoder output-head dropout rate
+                                   # (reference decoder.py:39 nn.Dropout()
+                                   # default p=0.5); 0.0 makes the train
+                                   # step deterministic — the two
+                                   # frameworks draw different dropout
+                                   # masks, so cross-framework parity runs
+                                   # (tests/test_eval_parity.py) disable it
     bf16_attention: bool = False   # bf16 attention tanh intermediate:
                                    # halves the dominant saved-activation
                                    # HBM traffic of the training backward
@@ -254,6 +261,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--feature-bank-hbm-gb", type=float, default=6.0,
                         help="HBM budget for the resident feature bank "
                              "(cache-features mode)")
+    parser.add_argument("--dropout-rate", type=float, default=0.5,
+                        help="decoder output-head dropout (reference "
+                             "decoder.py nn.Dropout() p=0.5); 0 disables")
     parser.add_argument("--fast-metrics", action="store_true", default=False,
                         help="sync train metrics only at log-interval "
                              "batches (default: every batch, like the "

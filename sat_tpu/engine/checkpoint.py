@@ -191,15 +191,23 @@ def train_state_has_key(checkpoint_dir: str, step: int, key: str) -> bool:
     path = os.path.abspath(os.path.join(checkpoint_dir, "orbax", str(step)))
     try:
         meta = _checkpointer().metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        return key in tree
     except FileNotFoundError:
         # No metadata file at all (foreign / ancient orbax layout): report
-        # the key absent so the caller uses the legacy template. Every other
-        # failure propagates — a transient read error on a modern checkpoint
-        # must surface, not silently misroute resume onto the legacy
-        # template, where the restore would crash with a misleading
-        # tree-structure mismatch (review r3; the narrowing ADVICE r2 asked
-        # for).
+        # the key absent so the caller uses the legacy template. Genuine
+        # I/O errors on a modern checkpoint must surface, not silently
+        # misroute resume onto the legacy template, where the restore would
+        # crash with a misleading tree-structure mismatch (review r3; the
+        # narrowing ADVICE r2 asked for).
         return False
-    tree = getattr(meta, "item_metadata", meta)
-    tree = getattr(tree, "tree", tree)
-    return key in tree
+    except (ValueError, KeyError, TypeError):
+        # Metadata exists but doesn't parse into a probeable tree — an
+        # old/foreign orbax layout whose probe raises a format error rather
+        # than FileNotFoundError (ADVICE r3). The step dir exists (the
+        # caller found it via latest_step), so treat it like the legacy
+        # layout instead of crashing resume; OSErrors still propagate.
+        if os.path.isdir(path):
+            return False
+        raise

@@ -127,6 +127,7 @@ class Trainer:
             vocab_size=vocabulary_size, encoder_dim=cfg.encoder_dim,
             use_tf=cfg.tf, use_ado=cfg.ado, use_bert=cfg.bert,
             use_attention=cfg.attention,
+            dropout_rate=cfg.dropout_rate,
             fused_attention=cfg.fused_attention,
             bf16_attention=cfg.bf16_attention)
 
@@ -975,6 +976,16 @@ class Trainer:
         return blocks, tail, max(1, self.PREEMPT_SYNC_EVERY // K)
 
     def _preempt_eval(self, epoch):
+        """Exit the run from inside a validation pass. Policy note (ADVICE
+        r3): unlike the blocked-TRAIN path, which always finishes the
+        in-flight block (its optimizer steps already happened, so dropping
+        their logger rows would desync stdout from the training state),
+        the eval loops drop the current in-flight batch/block here —
+        validation carries no state and the whole interrupted pass is
+        discarded and repeated on --resume, so finishing it would only
+        print meter rows of a pass that never completes. Already-dequeued
+        rows are flushed by the callers before raising, keeping stdout a
+        prefix of the uninterrupted run's."""
         self.save_epoch(epoch)
         print(f"Preempted during validation of epoch {epoch}: "
               f"epoch checkpointed as complete; rerun with --resume "

@@ -24,6 +24,7 @@ Shutdown: SIGTERM/SIGINT, or a client line {"cmd": "shutdown"}.
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import queue
@@ -343,12 +344,25 @@ def build_server(args) -> CaptionServer:
         top_p=getattr(args, "top_p", 1.0)))
     if decode_mode == "sample":
         # The sample closure takes (images, rng); hand the server a
-        # single-arg fn with a fresh fold of the seed per batch.
-        base_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        counter = iter(range(1 << 62))
+        # single-arg fn with a fresh fold of the seed per batch. Without an
+        # explicit --seed, mix in a process-unique value so a restarted
+        # server doesn't replay the exact same caption sequence for the
+        # same request order (ADVICE r3); with --seed the replay is the
+        # documented, intended property.
+        seed = getattr(args, "seed", None)
+        if seed is None:
+            base_rng = jax.random.fold_in(
+                jax.random.PRNGKey(0),
+                (os.getpid() ^ time.time_ns()) & 0x7FFFFFFF)
+        else:
+            base_rng = jax.random.PRNGKey(seed)
+        counter = itertools.count()
+        counter_lock = threading.Lock()   # batch dispatch may go threaded
 
         def fn(arr, _inner=fn):
-            return _inner(arr, jax.random.fold_in(base_rng, next(counter)))
+            with counter_lock:
+                i = next(counter)
+            return _inner(arr, jax.random.fold_in(base_rng, i))
     token_dict = build_token_dict(word_dict) if word_dict else None
 
     def decode_tokens(tokens, length, found):
@@ -387,8 +401,12 @@ def main():
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--top-k", type=int, default=0)
     parser.add_argument("--top-p", type=float, default=1.0)
-    parser.add_argument("--seed", type=int, default=0,
-                        help="base rng seed for --decode sample")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="base rng seed for --decode sample. Explicit "
+                             "seed => a restarted server REPLAYS the same "
+                             "caption sequence for the same request order; "
+                             "default mixes in pid+boot time for fresh "
+                             "samples per process")
     parser.add_argument("--fast-topk", action="store_true", default=False)
     parser.add_argument("--bf16-decode", action="store_true", default=False)
     parser.add_argument("--host", type=str, default="127.0.0.1")

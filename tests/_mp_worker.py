@@ -1,16 +1,20 @@
-"""Worker for the 2-process distributed test (tests/test_multiprocess.py).
+"""Worker for the multi-process distributed test (tests/test_multiprocess.py).
 
 Runs one real training batch through the Trainer — image path and
 feature-bank path — under jax.distributed with 2 virtual CPU devices per
 process, and prints the step metrics for the parent to compare against a
 single-process run over the same logical global batch.
 
-Usage: python _mp_worker.py <data_root> <mode> [<port> <process_id>]
-  mode = "multi" (2 processes x 2 devices, local batch 4)
+Parameterized over the process count H (VERDICT r3 next #5): H=2 catches
+interleaving bugs, H=4 is the first count where host-stripe contiguity /
+per-host offset arithmetic (Trainer._host_rows, eval finish) can diverge
+from interleaving bugs — modular-arithmetic mistakes that pass at H=2.
+
+Usage: python _mp_worker.py <data_root> <mode> [<port> <process_id> <H>]
+  mode = "multi" (H processes x 2 devices, local batch 8/H)
        | "single" (1 process x 2 devices, batch 8)
 """
 
-import functools
 import os
 import sys
 
@@ -21,28 +25,26 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    nproc = 1
     if mode == "multi":
         port, pid = sys.argv[3], int(sys.argv[4])
-        jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+        nproc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+        jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
                                    process_id=pid)
-
-    # Dropout draws depend on the row ORDER of the global batch, which
-    # striping permutes; disable it so single- vs multi-process runs are
-    # comparable (the optimization math is what's under test).
-    import sat_tpu.engine.loop as loop_mod
-    from sat_tpu.models.decoder import DecoderConfig
-    loop_mod.DecoderConfig = functools.partial(DecoderConfig,
-                                               dropout_rate=0.0)
 
     from sat_tpu.config import Config
     from sat_tpu.engine.loop import Trainer
 
-    local_bs = 4 if mode == "multi" else 8
+    local_bs = 8 // nproc if mode == "multi" else 8
 
     for tag, cache in (("IMGPATH", False), ("BANK", True)):
+        # Dropout draws depend on the row ORDER of the global batch, which
+        # striping permutes; disable it (Config.dropout_rate plumb, round 4)
+        # so single- vs multi-process runs are comparable — the optimization
+        # math is what's under test.
         cfg = Config(data=data_root, network="vgg19", image_size=32,
                      batch_size=local_bs, epochs=1, tf=True, attention=True,
-                     log_interval=100, perform_test=False,
+                     log_interval=100, perform_test=False, dropout_rate=0.0,
                      checkpoint_dir=data_root + f"/ckpt_{tag}_{mode}",
                      cache_features=cache)
         tr = Trainer(cfg)
@@ -92,7 +94,7 @@ def main():
         from sat_tpu.engine.loop import TrainingPreempted
         cfg = Config(data=data_root, network="vgg19", image_size=32,
                      batch_size=local_bs, epochs=1, tf=True, attention=True,
-                     log_interval=100, perform_test=False,
+                     log_interval=100, perform_test=False, dropout_rate=0.0,
                      checkpoint_dir=data_root + "/ckpt_preempt",
                      cache_features=True)
         tr = Trainer(cfg)
@@ -114,14 +116,15 @@ def main():
         # branch (the (K, B) global block assembly) and blocked
         # validation's bulk stacked gathers — must be BIT-identical to
         # per-batch dispatch on the same global mesh. 16 train rows /
-        # global batch 8 -> 2 batches -> one K=2 block, no tail.
+        # global batch 8 -> 2 batches -> one K=2 block, no tail
+        # (per host: 16/H rows at local batch 8/H, any H).
         import numpy as np
         results = {}
         for K in (1, 2):
             cfg = Config(data=data_root, network="vgg19", image_size=32,
                          batch_size=local_bs, epochs=1, tf=True,
                          attention=True, log_interval=100,
-                         perform_test=False,
+                         perform_test=False, dropout_rate=0.0,
                          checkpoint_dir=data_root + f"/ckpt_blk{K}",
                          cache_features=True, steps_per_dispatch=K)
             tr = Trainer(cfg)

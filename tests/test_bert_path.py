@@ -9,6 +9,9 @@ import os
 import numpy as np
 import pytest
 
+# Heavy tier (~4 min (BERT goldens)); deselect with -m "not heavy".
+pytestmark = pytest.mark.heavy
+
 from tests._reference import import_reference
 from tests._synth import build_synth_dataset, write_synthetic_bert_vocab
 

@@ -11,6 +11,9 @@ from collections import OrderedDict
 
 import numpy as np
 import pytest
+
+# Heavy tier (~4 min (torch-built goldens)); deselect with -m "not heavy".
+pytestmark = pytest.mark.heavy
 import torch
 import torch.nn as nn
 

@@ -8,6 +8,9 @@ import os
 import numpy as np
 import pytest
 
+# Heavy tier (~5 min); deselect with -m "not heavy".
+pytestmark = pytest.mark.heavy
+
 from tests._synth import build_synth_dataset
 
 from sat_tpu.config import Config

@@ -238,3 +238,37 @@ def test_has_key_probe_surfaces_transient_errors(tmp_path, monkeypatch):
 
     monkeypatch.setattr(ckpt, "_checkpointer", lambda: Missing())
     assert not ckpt.train_state_has_key(str(tmp_path), 7, "batch_offset")
+
+
+def test_has_key_probe_format_error_falls_back_when_dir_exists(
+        tmp_path, monkeypatch):
+    """Metadata that exists but raises a FORMAT error on parse (old/foreign
+    orbax layout whose probe raises ValueError/KeyError/TypeError instead of
+    FileNotFoundError) must fall back to the legacy template when the step
+    dir exists — but the same error with no step dir is a genuine bug and
+    must propagate (ADVICE r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sat_tpu.engine import checkpoint as ckpt
+
+    ckpt.save_train_state(str(tmp_path), 7,
+                          {"x": jnp.zeros((2,)), "batch_offset": 0},
+                          blocking=True)
+
+    class FormatBoom:
+        def __init__(self, exc):
+            self.exc = exc
+
+        def metadata(self, path):
+            raise self.exc
+
+    for exc in (ValueError("bad metadata"), KeyError("tree"),
+                TypeError("not a tree")):
+        monkeypatch.setattr(ckpt, "_checkpointer",
+                            lambda exc=exc: FormatBoom(exc))
+        # Step dir exists -> legacy fallback (key reported absent).
+        assert not ckpt.train_state_has_key(str(tmp_path), 7, "batch_offset")
+        # No step dir at all -> the format error propagates.
+        with pytest.raises(type(exc)):
+            ckpt.train_state_has_key(str(tmp_path), 99, "batch_offset")

@@ -8,6 +8,9 @@ import threading
 import numpy as np
 import pytest
 
+# Heavy tier (~2 min (daemon end-to-end)); deselect with -m "not heavy".
+pytestmark = pytest.mark.heavy
+
 from tests._synth import build_synth_dataset
 
 
