@@ -101,6 +101,47 @@ def test_partials_checkpointed_per_leg(bench_stubs, capsys, tmp_path):
     assert "measured_at" in harvest["meta"]["value"]
 
 
+def test_merge_partials_stamp_and_note_lifecycle(tmp_path):
+    """merge_partials must (a) keep a field's ORIGINAL measurement stamp
+    when the child re-merges the unchanged accumulated line after every
+    later leg, and (b) clear a stale <field>_note when the field is
+    re-measured without one — otherwise a healthy re-measurement keeps an
+    obsolete 'slow tunnel phase' annotation forever (review r4)."""
+    p = str(tmp_path / "h.json")
+    bench.merge_partials(p, {"value": 1100.0,
+                             "value_note": "slow phase"}, via="bench")
+    t0 = json.loads(open(p).read())["meta"]["value"]["measured_at"]
+    bench.merge_partials(p, {"value": 1100.0,
+                             "value_note": "slow phase"}, via="bench")
+    d = json.loads(open(p).read())
+    assert d["meta"]["value"]["measured_at"] == t0
+    assert d["fields"]["value_note"] == "slow phase"
+    bench.merge_partials(p, {"value": 2700.0}, via="bench")
+    d = json.loads(open(p).read())
+    assert d["fields"]["value"] == 2700.0
+    assert "value_note" not in d["fields"]
+    assert "value_note" not in d["meta"]
+
+
+def test_leg_exception_recorded_and_reprobed(bench_stubs, capsys):
+    """An exception-path leg death must be recorded in the artifact (which
+    legs are absent and why) and must trigger the same re-probe as a
+    watchdog death before the next leg dispatches (review r4)."""
+    probes = []
+    bench_stubs.setattr(bench, "_tpu_responsive",
+                        lambda timeout_s=60: probes.append(1) or True)
+
+    def boom():
+        raise RuntimeError("tunnel died mid-dispatch")
+
+    bench_stubs.setattr(bench, "measure_latency", boom)
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert "RuntimeError" in line["leg_latency_error"]
+    assert probes                         # re-probe ran after the death
+    assert line["encoder_vgg19_tflops"] == 55.0   # later leg still ran
+    assert line["legs_run"] == [n for n, _, _ in bench.LEGS]
+
+
 def test_resnet_whole_program_failure_falls_back_to_parts(bench_stubs,
                                                           capsys):
     def boom():
@@ -121,7 +162,9 @@ def test_resnet_whole_program_failure_falls_back_to_parts(bench_stubs,
 
 def test_baseline_fallback_provenance_recorded(bench_stubs, capsys):
     def fallback_ref():
-        bench._REF_USED_FALLBACK = True
+        # via monkeypatch so the flag is restored at teardown (the stub
+        # never resets it like the real measure_reference does)
+        bench_stubs.setattr(bench, "_REF_USED_FALLBACK", True)
         return bench.FALLBACK_REF_CAPTIONS_PER_SEC
 
     bench_stubs.setattr(bench, "measure_reference", fallback_ref)

@@ -89,6 +89,11 @@ def main() -> int:
                 break
         except Exception as e:
             print(f"leg {name} failed ({e})", file=sys.stderr)
+            # an exception (e.g. XlaRuntimeError from a dying tunnel) is as
+            # wedge-suggestive as a watchdog — re-probe before the next leg
+            if not bench._tpu_responsive(timeout_s=30):
+                print("backend wedged; stopping harvest", file=sys.stderr)
+                break
         finally:
             signal.alarm(0)
     return 0 if recorded else 1
