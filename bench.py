@@ -759,6 +759,24 @@ class _LegTimeout(Exception):
     pass
 
 
+# The primary artifact field each leg is responsible for. Shared by
+# tools/measure_now.py --skip-harvested (spend a brief healthy window on
+# legs still missing from the harvest, not on re-measuring the headline)
+# and tools/harvest_loop.sh's completeness check (a noted field counts as
+# incomplete: a slow-phase annotation deserves a clean re-measurement).
+# Gate-tested against LEGS so the two can't drift.
+LEG_PRIMARY_FIELD = {
+    "headline": "value",
+    "fast": "fast_mode_captions_per_sec",
+    "train_f32": "train_rows_per_sec",
+    "train_bf16": "train_rows_per_sec_bf16",
+    "blocked": "train_blocked_rows_per_sec_wall",
+    "latency": "single_image_latency_ms",
+    "encoder": "encoder_vgg19_tflops",
+    "resnet": "captions_per_sec_beam5_resnet152_e2e",
+}
+
+
 def run_legs(line: dict, save) -> None:
     """Run every measurement leg in order, checkpointing `line` via
     `save(line)` after each one. A leg failure (exception or watchdog)

@@ -101,6 +101,13 @@ def test_partials_checkpointed_per_leg(bench_stubs, capsys, tmp_path):
     assert "measured_at" in harvest["meta"]["value"]
 
 
+def test_leg_primary_field_map_in_sync_with_legs():
+    """LEG_PRIMARY_FIELD drives tools/measure_now.py --skip-harvested and
+    tools/harvest_loop.sh's completeness check; a leg added to LEGS without
+    a primary field would silently never be harvested as 'missing'."""
+    assert set(bench.LEG_PRIMARY_FIELD) == {n for n, _, _ in bench.LEGS}
+
+
 def test_merge_partials_stamp_and_note_lifecycle(tmp_path):
     """merge_partials must (a) keep a field's ORIGINAL measurement stamp
     when the child re-merges the unchanged accumulated line after every

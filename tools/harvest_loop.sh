@@ -1,0 +1,35 @@
+#!/bin/bash
+# Opportunistic TPU measurement harvester (CLAUDE.md rule: grab every
+# measurement the moment a probe succeeds; the tunneled chip wedges for
+# minutes-to-hours at a time).
+#
+# Probes every ~4 min via tools/measure_now.py. On any healthy window it
+# measures ONLY the bench legs still missing from the cumulative harvest
+# (docs/bench_partials.json) or harvested with a slow-phase note
+# (--skip-harvested), so a short window is spent on the gaps rather than
+# re-measuring the headline. Exits once every leg's primary field is
+# present and clean — NOT after the first partially-successful run (an
+# earlier /tmp incarnation exited on "at least one leg recorded", leaving
+# the harvest incomplete for the rest of the round).
+#
+# Usage: nohup tools/harvest_loop.sh [logfile] & echo $! > /tmp/harvest_loop.pid
+cd "$(dirname "$0")/.." || exit 1
+LOG=${1:-/tmp/harvest.log}
+for i in $(seq 1 150); do
+  echo "=== attempt $i $(date -u +%FT%TZ)" >> "$LOG"
+  timeout 3600 python tools/measure_now.py all --probe-timeout 90 \
+      --skip-harvested >> "$LOG" 2>&1
+  echo "=== attempt $i rc=$? $(date -u +%FT%TZ)" >> "$LOG"
+  python - >> "$LOG" 2>&1 <<'PY' && { echo "=== harvest complete $(date -u +%FT%TZ)" >> "$LOG"; exit 0; }
+import json, sys
+sys.path.insert(0, ".")
+import bench
+f = bench.load_partials(bench._partials_path())["fields"]
+missing = [n for n, k in bench.LEG_PRIMARY_FIELD.items()
+           if k not in f or k + "_note" in f]
+print("harvest incomplete:", ", ".join(missing) or "(none)")
+sys.exit(1 if missing else 0)
+PY
+  sleep 240
+done
+echo "=== attempt budget exhausted $(date -u +%FT%TZ)" >> "$LOG"

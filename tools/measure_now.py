@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("legs", nargs="*", default=["all"])
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--probe-timeout", type=float, default=90.0)
+    ap.add_argument("--skip-harvested", action="store_true",
+                    help="skip legs whose primary field is already in the "
+                         "harvest without a slow-phase note, so a brief "
+                         "healthy window goes straight to the missing legs")
     args = ap.parse_args()
 
     names = [name for name, _, _ in bench.LEGS]
@@ -48,6 +52,23 @@ def main() -> int:
     unknown = [w for w in wanted if w not in names]
     if unknown:
         ap.error(f"unknown legs {unknown}; available: {names}")
+
+    if args.skip_harvested:
+        har = bench.load_partials(bench._partials_path())["fields"]
+
+        def _clean(name):
+            fld = bench.LEG_PRIMARY_FIELD[name]
+            return fld in har and fld + "_note" not in har
+
+        skipped = [w for w in wanted if _clean(w)]
+        wanted = [w for w in wanted if not _clean(w)]
+        if skipped:
+            print(f"skipping already-harvested legs: {', '.join(skipped)}",
+                  file=sys.stderr)
+        if not wanted:
+            print("harvest already complete; nothing to measure",
+                  file=sys.stderr)
+            return 0
 
     if not bench._tpu_responsive(timeout_s=args.probe_timeout):
         print("probe failed: tpu backend unresponsive", file=sys.stderr)
