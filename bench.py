@@ -474,6 +474,50 @@ def measure_resnet_parts() -> dict:
     return fields
 
 
+def measure_densenet_parts() -> dict:
+    """Parts-wise DenseNet161 e2e (VERDICT r3 next #3's "densenet161 if
+    the chip cooperates"): per-stage encoder slope measurements + a
+    decode-only beam measurement on the (B,49,2208) grid, summed. Parts
+    only — the dense-concat body's HLO is even larger than ResNet152's,
+    which already wedged the tunnel / hit its HTTP-413 upload cap. Note
+    the reference's own densenet path cannot run at all (it hardcodes
+    1920 channels where torchvision emits 2208, reference encoder.py:22);
+    ours fixes the dim, so this leg has no reference-side counterpart."""
+    from sat_tpu.utils.benchmarks import measure_densenet161_stages
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.models.beam import beam_search_batched
+    from sat_tpu.utils.timing import device_time
+
+    stages = measure_densenet161_stages(BATCH_RESNET)
+    t_enc = sum(s["sec_per_batch"] for s in stages["stages"])
+
+    cfg, dec_params = _worst_case_decoder(2208, jax.random.PRNGKey(2))
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(BATCH_RESNET, 49, 2208)).astype(np.float32))
+
+    def body(x, i):
+        r = beam_search_batched(dec_params, cfg, x, BEAM)
+        return x + 1e-20 * r.score.sum()
+
+    t_dec = device_time(body, feats, n_lo=1, n_hi=3, reps=3)
+    if t_enc <= 0 or t_dec <= 0:
+        raise RuntimeError("implausible densenet parts slopes "
+                           f"(enc={t_enc}, dec={t_dec})")
+    fields = {
+        "captions_per_sec_beam5_densenet161_e2e":
+            round(BATCH_RESNET / (t_enc + t_dec), 2),
+        "captions_per_sec_beam5_densenet161_e2e_note":
+            "sum of per-stage encoder + decode-only slope measurements",
+    }
+    if stages.get("tflops_per_sec"):
+        fields["encoder_densenet161_tflops"] = round(
+            stages["tflops_per_sec"], 1)
+        fields["encoder_densenet161_mfu_pct"] = round(
+            stages["mfu_pct_vs_bf16_peak"], 1)
+    return fields
+
+
 def measure_reference() -> float:
     """Time the reference's beam decode (decoder.py:160-269) on CPU torch.
     Sets the module-level fallback flag when the live run fails so the
@@ -739,10 +783,24 @@ def leg_resnet() -> dict:
     return measure_resnet_parts()
 
 
+def leg_densenet() -> dict:
+    """DenseNet161 e2e, parts-wise only (see measure_densenet_parts — the
+    whole-program HLO is beyond the tunnel's wedge threshold by
+    construction). Runs last with resnet: the wedge-prone giant-encoder
+    programs must not cost earlier legs."""
+    fields = measure_densenet_parts()
+    cps = fields.get("captions_per_sec_beam5_densenet161_e2e", 0)
+    if not 0 < cps <= 20_000:
+        print(f"implausible densenet parts e2e discarded ({cps})",
+              file=sys.stderr)
+        return {}
+    return fields
+
+
 # ------------------------------------------------------------ orchestration
 
 # (name, fn, watchdog seconds). Order matters: vs_baseline immediately
-# after the headline; the wedge-prone resnet program last.
+# after the headline; the wedge-prone resnet/densenet programs last.
 LEGS = [
     ("headline", leg_headline, 420),
     ("fast", leg_fast, 250),
@@ -752,6 +810,7 @@ LEGS = [
     ("latency", leg_latency, 150),
     ("encoder", leg_encoder, 150),
     ("resnet", leg_resnet, 300),
+    ("densenet", leg_densenet, 300),
 ]
 
 
@@ -774,7 +833,20 @@ LEG_PRIMARY_FIELD = {
     "latency": "single_image_latency_ms",
     "encoder": "encoder_vgg19_tflops",
     "resnet": "captions_per_sec_beam5_resnet152_e2e",
+    "densenet": "captions_per_sec_beam5_densenet161_e2e",
 }
+
+
+def harvested_leg_clean(fields: dict, leg: str) -> bool:
+    """True when a leg's primary field is harvested and worth keeping as-is.
+    A 'slow tunnel phase' or 'upper bound' note marks a measurement taken
+    in a degraded/glitchy phase — re-measure it; a structural note ('sum
+    of parts' on the resnet/densenet parts recipes) is intrinsic to the
+    leg and does NOT make it incomplete."""
+    fld = LEG_PRIMARY_FIELD[leg]
+    note = fields.get(fld + "_note", "")
+    return fld in fields and \
+        "slow tunnel phase" not in note and "upper bound" not in note
 
 
 def run_legs(line: dict, save) -> None:

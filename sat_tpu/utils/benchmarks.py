@@ -94,24 +94,16 @@ def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
     return out
 
 
-def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
-                             reps: int = 3):
-    """Parts-wise live measurement of the ResNet152 forward (VERDICT r3
-    next #3): the whole ~155-layer HLO has wedged the tunnel's
-    remote-compile endpoint and hit its HTTP-413 upload cap, so each stage
-    (stem, layer1..layer4 — reference encoder.py:13-17 keeps the body
-    minus avgpool/fc) is slope-measured as its own small program on its
-    own input shape. Returns per-stage seconds plus summed TFLOP/s / MFU —
-    live numbers replacing the CPU-cost-analysis 'derived' rows in
-    docs/ARCHITECTURE.md."""
+def resnet152_stage_plan(params, batch: int):
+    """(name, fn, input_shape) stages of the ResNet152 forward (stem,
+    layer1..layer4 — reference encoder.py:13-17 keeps the body minus
+    avgpool/fc). Each stage's input shape is the previous one's output
+    shape (chaining asserted by tests/test_bench_gates.py via
+    jax.eval_shape), so the sum of stage times is the full forward."""
     import jax
-    import jax.numpy as jnp
 
-    from sat_tpu.models.encoder import (_bottleneck, batch_norm, conv2d,
-                                        init_resnet152_params, max_pool)
-    from sat_tpu.utils.timing import device_time
-
-    params = init_on_host(init_resnet152_params, jax.random.PRNGKey(0))
+    from sat_tpu.models.encoder import _bottleneck, batch_norm, conv2d, \
+        max_pool
 
     def stem(x):
         x = conv2d(x, params["conv1"]["w"], stride=2,
@@ -128,13 +120,40 @@ def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
             return x
         return fwd
 
-    # (name, fn, input shape) — each stage's input is the previous one's
-    # output shape, so the sum of stage times is the full forward.
-    plan = [("stem", stem, (batch, 224, 224, 3)),
+    return [("stem", stem, (batch, 224, 224, 3)),
             ("layer1", layer(1), (batch, 56, 56, 64)),
             ("layer2", layer(2), (batch, 56, 56, 256)),
             ("layer3", layer(3), (batch, 28, 28, 512)),
             ("layer4", layer(4), (batch, 14, 14, 1024))]
+
+
+def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
+                             reps: int = 3):
+    """Parts-wise live measurement of the ResNet152 forward (VERDICT r3
+    next #3): the whole ~155-layer HLO has wedged the tunnel's
+    remote-compile endpoint and hit its HTTP-413 upload cap, so each stage
+    is slope-measured as its own small program on its own input shape.
+    Returns per-stage seconds plus summed TFLOP/s / MFU — live numbers
+    replacing the CPU-cost-analysis 'derived' rows in
+    docs/ARCHITECTURE.md."""
+    import jax
+
+    from sat_tpu.models.encoder import init_resnet152_params
+
+    params = init_on_host(init_resnet152_params, jax.random.PRNGKey(0))
+    plan = resnet152_stage_plan(params, batch)
+    return _measure_stage_plan("resnet", plan, batch, n_lo, n_hi, reps)
+
+
+def _measure_stage_plan(what: str, plan, batch: int, n_lo: int, n_hi: int,
+                        reps: int):
+    """Slope-measure each (name, fn, input_shape) stage as its own small
+    program; the sum of stage times is the full forward when each stage's
+    input shape is the previous one's output. Shared by the resnet152 and
+    densenet161 parts-wise measurers."""
+    import jax.numpy as jnp
+
+    from sat_tpu.utils.timing import device_time
 
     stages, total_flops, total_sec = [], 0.0, 0.0
     for name, fn, shape in plan:
@@ -144,7 +163,7 @@ def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
         dt = device_time(lambda v, i: v + 1e-20 * fn(v).sum(), x,
                          n_lo=n_lo, n_hi=n_hi, reps=reps)
         if dt <= 0:
-            raise RuntimeError(f"implausible resnet stage slope "
+            raise RuntimeError(f"implausible {what} stage slope "
                                f"({name} B={batch}): dt={dt}")
         stages.append({"stage": name, "sec_per_batch": dt,
                        "flops": flops})
@@ -158,6 +177,65 @@ def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
         out["mfu_pct_vs_bf16_peak"] = (total_flops / total_sec
                                        / V5E_PEAK_FLOPS * 100)
     return out
+
+
+def densenet161_stage_plan(params, batch: int):
+    """(name, fn, input_shape) stages of the DenseNet161 forward (stem,
+    block1+trans1 .. block3+trans3, block4 — reference encoder.py:18-22
+    keeps features minus norm5). Stage input shapes are derived from the
+    DenseNet growth arithmetic so they cannot drift from the model
+    definition; chaining is asserted by tests/test_bench_gates.py."""
+    import jax
+
+    from sat_tpu.models.encoder import (DENSENET161_BLOCKS, DENSENET_GROWTH,
+                                        DENSENET_INIT, _dense_layer,
+                                        avg_pool, batch_norm, conv2d,
+                                        max_pool)
+
+    def stem(x):
+        x = conv2d(x, params["conv0"]["w"], stride=2,
+                   padding=[(3, 3), (3, 3)])
+        x = jax.nn.relu(batch_norm(x, params["norm0"]))
+        return max_pool(x, window=3, stride=2,
+                        padding=[(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    def block(bi):
+        def fwd(x):
+            for layer in params[f"block{bi}"]:
+                x = _dense_layer(layer, x)
+            if bi < 4:
+                t = params[f"trans{bi}"]
+                x = jax.nn.relu(batch_norm(x, t["norm"]))
+                x = conv2d(x, t["conv"]["w"])
+                x = avg_pool(x)
+            return x
+        return fwd
+
+    plan = [("stem", stem, (batch, 224, 224, 3))]
+    ch, hw = DENSENET_INIT, 56
+    for bi, n_layers in enumerate(DENSENET161_BLOCKS, start=1):
+        plan.append((f"block{bi}", block(bi), (batch, hw, hw, ch)))
+        ch += n_layers * DENSENET_GROWTH
+        if bi < 4:                      # transition halves channels+spatial
+            ch //= 2
+            hw //= 2
+    return plan
+
+
+def measure_densenet161_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
+                               reps: int = 3):
+    """Parts-wise live measurement of the DenseNet161 forward (VERDICT r3
+    next #3, "densenet161 if the chip cooperates"): the dense-concat body
+    compiles to an even larger HLO than ResNet152's (which already wedged
+    the tunnel's remote-compile endpoint), so each stage runs as its own
+    small program on its own input shape."""
+    import jax
+
+    from sat_tpu.models.encoder import init_densenet161_params
+
+    params = init_on_host(init_densenet161_params, jax.random.PRNGKey(0))
+    plan = densenet161_stage_plan(params, batch)
+    return _measure_stage_plan("densenet", plan, batch, n_lo, n_hi, reps)
 
 
 def blocked_train_runner(block, feats, caps, lr, base_rng, k, batch,

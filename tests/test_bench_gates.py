@@ -51,6 +51,14 @@ def bench_stubs(monkeypatch, tmp_path):
         bench, "measure_resnet_parts",
         lambda: pytest.fail("parts fallback must not run when the "
                             "whole-program resnet leg succeeds"))
+    monkeypatch.setattr(
+        bench, "measure_densenet_parts",
+        lambda: {"captions_per_sec_beam5_densenet161_e2e": 1700.0,
+                 "captions_per_sec_beam5_densenet161_e2e_note":
+                     "sum of per-stage encoder + decode-only slope "
+                     "measurements",
+                 "encoder_densenet161_tflops": 70.0,
+                 "encoder_densenet161_mfu_pct": 35.5})
     return monkeypatch
 
 
@@ -85,6 +93,8 @@ def test_healthy_headline_first_attempt(bench_stubs, capsys):
     assert "best plausible" in line["sampling_policy"]
     assert line["train_hbm_util_pct"] == 55.0
     assert line["captions_per_sec_beam5_resnet152_e2e"] == 2100.0
+    assert line["captions_per_sec_beam5_densenet161_e2e"] == 1700.0
+    assert line["encoder_densenet161_tflops"] == 70.0
 
 
 def test_partials_checkpointed_per_leg(bench_stubs, capsys, tmp_path):
@@ -106,6 +116,60 @@ def test_leg_primary_field_map_in_sync_with_legs():
     tools/harvest_loop.sh's completeness check; a leg added to LEGS without
     a primary field would silently never be harvested as 'missing'."""
     assert set(bench.LEG_PRIMARY_FIELD) == {n for n, _, _ in bench.LEGS}
+
+
+def test_stage_plans_chain_shapes():
+    """Each parts-wise measurement stage's declared input shape must equal
+    the previous stage's output shape (and the last stage must emit the
+    decoder-side grid) — otherwise the summed parts time would measure a
+    different program than the full encoder forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from sat_tpu.models.encoder import (init_densenet161_params,
+                                        init_resnet152_params)
+    from sat_tpu.utils.benchmarks import (densenet161_stage_plan,
+                                          resnet152_stage_plan)
+
+    for init, plan_fn, final in (
+            (init_resnet152_params, resnet152_stage_plan, (2, 7, 7, 2048)),
+            (init_densenet161_params, densenet161_stage_plan,
+             (2, 7, 7, 2208))):
+        # zeros with the init's exact tree/shapes — shape chaining doesn't
+        # need real weights, and skipping the RNG init keeps this fast-tier
+        abstract = jax.eval_shape(init, jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+        plan = plan_fn(params, 2)
+        for (name, fn, shape), (_, _, nxt) in zip(plan, plan[1:]):
+            out = jax.eval_shape(fn, jax.ShapeDtypeStruct(shape,
+                                                          jnp.float32))
+            assert out.shape == nxt, (name, out.shape, nxt)
+        out = jax.eval_shape(plan[-1][1],
+                             jax.ShapeDtypeStruct(plan[-1][2], jnp.float32))
+        assert out.shape == final
+
+
+def test_harvested_leg_clean_semantics():
+    """Slow-phase and upper-bound notes mark a leg for re-measurement;
+    structural notes (the parts recipes' 'sum of ... measurements') and
+    clean fields count as complete; absent fields are incomplete."""
+    f = {"value": 2700.0,
+         "captions_per_sec_beam5_densenet161_e2e": 1700.0,
+         "captions_per_sec_beam5_densenet161_e2e_note":
+             "sum of per-stage encoder + decode-only slope measurements",
+         "train_rows_per_sec": 4000.0,
+         "train_rows_per_sec_note":
+             "below documented band after retry — slow tunnel phase, "
+             "not the program",
+         "train_blocked_rows_per_sec_wall": 25_000.0,
+         "train_blocked_rows_per_sec_wall_note":
+             "possible clock glitch; treat as upper bound"}
+    assert bench.harvested_leg_clean(f, "headline")
+    assert bench.harvested_leg_clean(f, "densenet")
+    assert not bench.harvested_leg_clean(f, "train_f32")
+    assert not bench.harvested_leg_clean(f, "blocked")
+    assert not bench.harvested_leg_clean(f, "latency")
 
 
 def test_merge_partials_stamp_and_note_lifecycle(tmp_path):

@@ -25,8 +25,8 @@ import json, sys
 sys.path.insert(0, ".")
 import bench
 f = bench.load_partials(bench._partials_path())["fields"]
-missing = [n for n, k in bench.LEG_PRIMARY_FIELD.items()
-           if k not in f or k + "_note" in f]
+missing = [n for n in bench.LEG_PRIMARY_FIELD
+           if not bench.harvested_leg_clean(f, n)]
 print("harvest incomplete:", ", ".join(missing) or "(none)")
 sys.exit(1 if missing else 0)
 PY

@@ -57,8 +57,7 @@ def main() -> int:
         har = bench.load_partials(bench._partials_path())["fields"]
 
         def _clean(name):
-            fld = bench.LEG_PRIMARY_FIELD[name]
-            return fld in har and fld + "_note" not in har
+            return bench.harvested_leg_clean(har, name)
 
         skipped = [w for w in wanted if _clean(w)]
         wanted = [w for w in wanted if not _clean(w)]
