@@ -248,12 +248,20 @@ class BatchLoader:
             return imgs, captions, all_captions, np.asarray(idxs)
         return imgs, captions, all_captions
 
-    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def epoch(self, epoch: int = 0, skip: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield the epoch's batches, optionally skipping the first `skip`
+        (mid-epoch resume): skipping here, at the index-split level, means
+        skipped batches are never materialized — a consumer-side
+        `if batch_idx < skip: continue` still pays the producer thread's
+        full image decode for every skipped batch (minutes of dead time
+        when resuming deep into a raw-image epoch)."""
         order = self._epoch_indices(epoch)
         bs = self.batch_size
         splits = [order[i:i + bs] for i in range(0, len(order), bs)]
         if self.drop_last and splits and len(splits[-1]) < bs:
             splits.pop()
+        if skip:
+            splits = splits[skip:]
         if self.prefetch <= 0:
             for idxs in splits:
                 yield self._make_batch(idxs)

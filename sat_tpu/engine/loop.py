@@ -102,6 +102,25 @@ def _pad_batch(arrs, multiple: int):
     return [np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) for a in arrs], mask
 
 
+def concat_unique_shards(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded (dim-0) array, assembled from
+    its addressable shards WITHOUT any collective. On a (data, model) mesh
+    the batch dim is sharded over `data` only, so a host whose local
+    devices span the model axis holds DUPLICATE shards of each batch slice
+    (same dim-0 index, different model column); a plain concat of all
+    addressable shards would repeat early rows and truncate the stripe's
+    tail (review r4). Dedup by dim-0 slice start before concatenating."""
+    parts, seen = [], set()
+    for s in sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0):
+        start = s.index[0].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts)
+
+
 class Trainer:
     def __init__(self, cfg: Config, logger: MetricLogger | None = None):
         self.cfg = cfg
@@ -303,6 +322,13 @@ class Trainer:
                         else "replicated")
                 print(f"Feature bank resident in HBM ({kind}, "
                       f"{total_bytes / (1 << 20):.0f} MB total)")
+                # The bank now holds the only copy the steps read
+                # (_step_inputs is never called in bank mode), so drop the
+                # GB-scale host-side f32 cache instead of keeping it
+                # resident beside the image-cache budget for the whole run
+                # (review r4). host_features() reads back from the bank for
+                # the rare host-side consumers (demo/tests).
+                self.features = {s: None for s in self.features}
             else:
                 print(f"Feature cache ({total_bytes / (1 << 30):.1f} GB) "
                       f"exceeds --feature-bank-hbm-gb; using host gather")
@@ -442,10 +468,17 @@ class Trainer:
                       f"from {cache_file}")
                 return feats, row_map
 
-        compute_dtype = _jnp.bfloat16 if cfg.bf16_encoder else None
-        from sat_tpu.models.encoder import encoder_forward
-        enc_fn = jax.jit(lambda e, x: encoder_forward(e, cfg.network, x,
-                                                      compute_dtype))
+        # One jitted encoder shared by all three splits: a fresh lambda per
+        # call would miss jax's jit cache and re-trace (and, without the
+        # persistent compilation cache, re-compile at 15-40s a pop) once
+        # per split for the identical program (review r4).
+        enc_fn = getattr(self, "_precompute_enc_fn", None)
+        if enc_fn is None:
+            compute_dtype = _jnp.bfloat16 if cfg.bf16_encoder else None
+            from sat_tpu.models.encoder import encoder_forward
+            enc_fn = jax.jit(lambda e, x: encoder_forward(e, cfg.network, x,
+                                                          compute_dtype))
+            self._precompute_enc_fn = enc_fn
         chunks = []
         pending = None
         for start in range(0, len(unique), batch):
@@ -475,10 +508,26 @@ class Trainer:
             print(f"Saved feature cache: {cache_file}")
         return feats, row_map
 
+    def host_features(self, split: str) -> np.ndarray:
+        """Host-side f32 feature matrix for a split, (U, L, D). In bank
+        mode the host cache is freed after upload (__init__), so read back
+        from the (possibly sharded, possibly bf16) bank and unpad — the
+        bf16 rounding matches exactly what the steps compute from."""
+        if self.features.get(split) is not None:
+            return self.features[split]
+        rows = self.row_map[split]
+        u = int(rows.max()) + 1 if rows.size else 0
+        feats = np.asarray(self._host_read(self.bank[split]["feats"]),
+                           np.float32)
+        return feats[:u]
+
     def _step_inputs(self, split, imgs, idxs):
         """First step argument: cached features or raw images."""
         if self.cfg.cache_features:
-            return self.features[split][self.row_map[split][idxs]]
+            feats = self.features[split]
+            if feats is None:           # bank mode: only host-side callers
+                feats = self.host_features(split)
+            return feats[self.row_map[split][idxs]]
         return imgs
 
     def _put_indices(self, split, idxs):
@@ -570,9 +619,7 @@ class Trainer:
         moment one host stops participating."""
         if jax.process_count() == 1:
             return np.asarray(arr)[:n_real]
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards])[:n_real]
+        return concat_unique_shards(arr)[:n_real]
 
     def _run_eval_step(self, split, imgs, captions, idxs):
         if self.use_bank:
@@ -679,9 +726,11 @@ class Trainer:
             return
 
         pending = deque()
-        for batch_idx, (imgs, captions, _, idxs) in enumerate(self.train_loader.epoch(epoch)):
-            if batch_idx < skip:
-                continue
+        # skip= resumes mid-epoch at the loader level: skipped batches are
+        # never image-decoded (review r4 — a consumer-side `continue` paid
+        # the producer's full decode for every skipped batch).
+        for batch_idx, (imgs, captions, _, idxs) in enumerate(
+                self.train_loader.epoch(epoch, skip=skip), start=skip):
             # Host-side step counter: folding in state.step would force a
             # device sync before every dispatch.
             rng = jax.random.fold_in(self.dropout_rng, self._host_step)
@@ -722,8 +771,8 @@ class Trainer:
         K = cfg.steps_per_dispatch
         bank = self.bank["train"]
         idx_batches = [idxs for (_imgs, _caps, _all, idxs)
-                       in self.train_loader.epoch(epoch)][skip:]
-        blocks, tail, poll_every = self._block_schedule(idx_batches, K)
+                       in self.train_loader.epoch(epoch, skip=skip)]
+        blocks, tail, n_full, poll_every = self._block_schedule(idx_batches, K)
 
         def finish_block(start_idx, metrics_k):
             # One bulk device->host fetch for the whole stacked pytree:
@@ -775,7 +824,7 @@ class Trainer:
             finish_block(*pending)
 
         if tail is not None:
-            batch_idx = skip + len(idx_batches)
+            batch_idx = skip + n_full
             rng = jax.random.fold_in(self.dropout_rng, self._host_step)
             with jax.profiler.StepTraceAnnotation("train",
                                                   step_num=self._host_step):
@@ -967,13 +1016,17 @@ class Trainer:
         the epoch's batch list into K-sized blocks, split off an
         undersized trailing batch (only the last can be short — contiguous
         splits) for per-batch dispatch, and poll for preemption every
-        ~PREEMPT_SYNC_EVERY batches' worth of blocks. `items` is consumed
-        (the tail is popped in place)."""
+        ~PREEMPT_SYNC_EVERY batches' worth of blocks. Non-mutating; returns
+        (blocks, tail, n_full, poll_every) where n_full is the number of
+        full-size batches — i.e. the tail's position in the epoch's batch
+        list (review r4: callers used to recover it from an in-place pop's
+        side effect on their own list)."""
         tail = None
         if items and size_fn(items[-1]) != self.cfg.batch_size:
-            tail = items.pop()
+            tail = items[-1]
+            items = items[:-1]
         blocks = [items[i:i + K] for i in range(0, len(items), K)]
-        return blocks, tail, max(1, self.PREEMPT_SYNC_EVERY // K)
+        return blocks, tail, len(items), max(1, self.PREEMPT_SYNC_EVERY // K)
 
     def _preempt_eval(self, epoch):
         """Exit the run from inside a validation pass. Policy note (ADVICE
@@ -1008,7 +1061,7 @@ class Trainer:
         split = loader.split
         bank = self.bank[split]
         batches = list(loader.epoch(epoch))
-        blocks, tail, poll_every = self._block_schedule(
+        blocks, tail, n_full, poll_every = self._block_schedule(
             batches, K, size_fn=lambda b: b[1].shape[0])
 
         def finish_block(start_idx, chunk, metrics_k, toks_k):
@@ -1041,7 +1094,7 @@ class Trainer:
             finish_block(*pending)
 
         if tail is not None:
-            batch_idx = len(batches)
+            batch_idx = n_full
             imgs, captions, all_captions, idxs = tail
             metrics, pred_tokens, alphas = self._run_eval_step(
                 split, imgs, captions, idxs)

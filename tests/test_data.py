@@ -97,6 +97,21 @@ def test_loader_shapes_shuffle_and_determinism(prepped):
     assert any((a[1] != b[1]).any() for a, b in zip(batches, other))
 
 
+def test_loader_epoch_skip_matches_suffix(prepped):
+    """epoch(e, skip=k) must yield exactly the same batches as epoch(e)[k:]
+    (mid-epoch resume) — skipping happens at the index-split level, so
+    skipped batches are never image-decoded by the producer thread."""
+    ds = CaptionDataset(prepped, "train")
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    full = list(loader.epoch(3))
+    for k in (0, 2, len(full)):
+        resumed = list(loader.epoch(3, skip=k))
+        assert len(resumed) == len(full) - k
+        for a, b in zip(full[k:], resumed):
+            assert (a[1] == b[1]).all()
+            np.testing.assert_array_equal(a[0], b[0])
+
+
 def test_loader_sharding_disjoint(prepped):
     ds = CaptionDataset(prepped, "train")
     seen = []

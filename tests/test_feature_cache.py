@@ -61,8 +61,9 @@ def test_cached_loader_skips_images(data_root, tmp_path):
     assert idxs.shape == caps.shape[:1]
     feats = tr._step_inputs("train", imgs, idxs)
     assert feats.shape == (len(idxs), 4, 512)  # 32px vgg -> 2x2 grid
-    # dedup: 4 unique images, 8 rows
-    assert tr.features["train"].shape[0] == 4
+    # dedup: 4 unique images, 8 rows (host cache is freed once banked;
+    # host_features reads back from the bank)
+    assert tr.host_features("train").shape[0] == 4
     assert tr.row_map["train"].shape[0] == 8
 
 
@@ -228,8 +229,8 @@ def test_feature_cache_dir_roundtrip(data_root, tmp_path, capsys):
     assert out2.count("Loaded cached features") == 3
     assert "Saved feature cache" not in out2
     for split in ("train", "val", "test"):
-        np.testing.assert_array_equal(tr1.features[split],
-                                      tr2.features[split])
+        np.testing.assert_array_equal(tr1.host_features(split),
+                                      tr2.host_features(split))
     tr3 = Trainer(_cfg(data_root, tmp_path / "c", seed=12, **kw))
     out3 = capsys.readouterr().out
     assert "Loaded cached features" not in out3

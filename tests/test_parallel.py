@@ -24,6 +24,24 @@ def test_eight_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
+def test_concat_unique_shards_dedups_model_axis_replicas():
+    """A batch-sharded array on a (data, model) mesh replicates each data
+    slice across the model axis, so addressable_shards contains DUPLICATE
+    shards per batch slice; concat_unique_shards must reassemble the
+    original rows exactly once, in order (a plain concat repeats early
+    rows and truncates the tail — the multi-host viz/stripe bug class)."""
+    from sat_tpu.engine.loop import concat_unique_shards
+
+    mesh = make_mesh(4, 2)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = jax.device_put(x, batch_sharding(mesh))
+    assert len(arr.addressable_shards) == 8      # 4 slices x 2 replicas
+    np.testing.assert_array_equal(concat_unique_shards(arr), x)
+    # replicated arrays (every shard identical) reduce to one copy
+    rep = jax.device_put(x, replicated(mesh))
+    np.testing.assert_array_equal(concat_unique_shards(rep), x)
+
+
 def _setup(n_data, n_model, vocab=64):
     mesh = make_mesh(n_data, n_model)
     cfg = DecoderConfig(vocab_size=vocab, encoder_dim=512, use_tf=True,

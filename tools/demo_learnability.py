@@ -90,12 +90,12 @@ def run(epochs: int = 12, out_dir: str = "/tmp/colordemo",
     # for that. The pipeline under test (attention, TF loss, optimizer,
     # beam) is unchanged.
     import jax
+    host_feats = {s: trainer.host_features(s) for s in trainer.features}
     stats = np.concatenate([f.reshape(-1, f.shape[-1])
-                            for f in trainer.features.values()])
+                            for f in host_feats.values()])
     mu, sd = stats.mean(0), stats.std(0) + 1e-6
-    for split in trainer.features:
-        trainer.features[split] = ((trainer.features[split] - mu)
-                                   / sd).astype(np.float32)
+    for split, f in host_feats.items():
+        trainer.features[split] = ((f - mu) / sd).astype(np.float32)
         if split in trainer.bank:
             trainer.bank[split]["feats"] = jax.device_put(
                 trainer.features[split],
