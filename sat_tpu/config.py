@@ -114,6 +114,13 @@ class Config:
                                    # halves the dominant saved-activation
                                    # HBM traffic of the training backward
                                    # pass; off = exact f32 parity
+    remat_scan: bool = False       # jax.checkpoint on the decoder scan
+                                   # body: the backward pass recomputes the
+                                   # (B, L, E) attention intermediates
+                                   # instead of storing them — removes the
+                                   # dominant saved-activation HBM traffic
+                                   # entirely (vs halving it with
+                                   # --bf16-attention); identical numerics
     bank_dtype: str = "float32"    # HBM feature-bank storage dtype
                                    # ("float32" | "bfloat16"); bfloat16
                                    # halves bank residency + gather traffic
@@ -276,6 +283,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="compute the attention tanh intermediate in "
                              "bfloat16 (halves backward-pass activation "
                              "traffic; default off = exact f32 numerics)")
+    parser.add_argument("--remat-scan", action="store_true", default=False,
+                        help="rematerialize the decoder scan body: the "
+                             "backward pass recomputes attention "
+                             "intermediates instead of saving them to HBM "
+                             "(identical numerics, different memory/"
+                             "traffic schedule)")
     parser.add_argument("--bank-dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="HBM feature-bank storage dtype; bfloat16 "

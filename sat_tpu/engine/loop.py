@@ -148,7 +148,8 @@ class Trainer:
             use_attention=cfg.attention,
             dropout_rate=cfg.dropout_rate,
             fused_attention=cfg.fused_attention,
-            bf16_attention=cfg.bf16_attention)
+            bf16_attention=cfg.bf16_attention,
+            remat_scan=cfg.remat_scan)
 
         # ---- params ----
         root_rng = jax.random.PRNGKey(cfg.seed)

@@ -60,6 +60,14 @@ class DecoderConfig:
     # bandwidth-bound on it from B=64 to B=256). Scores/softmax/context stay
     # f32. Off by default (exact f32 reference numerics).
     bf16_attention: bool = False
+    # Rematerialize the scan body (jax.checkpoint on the per-timestep step):
+    # autodiff then saves only the small per-step carry/outputs and recomputes
+    # the (B, L, E) tanh/softmax intermediates during the backward pass
+    # instead of writing them to HBM in forward and reading them back in
+    # backward. Recompute is the same ops on the same inputs, so forward
+    # outputs and gradients are unchanged; only the memory/traffic schedule
+    # differs. Targets the measured bandwidth bound of the train grad.
+    remat_scan: bool = False
 
     @property
     def embedding_size(self) -> int:
@@ -233,6 +241,10 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             h, c = lstm_cell(params["lstm"], x, h, c)
             return (h, c), (h, context, alpha)
 
+        if cfg.remat_scan:
+            # prevent_cse=False: inside lax.scan the CSE workaround is
+            # unnecessary (per jax.checkpoint docs) and would block XLA opts.
+            step = jax.checkpoint(step, prevent_cse=False)
         (_, _), (hs, ctxs, alphas) = jax.lax.scan(
             step, (h, c), jnp.swapaxes(token_embs, 0, 1))
         hs = jnp.swapaxes(hs, 0, 1)          # (B, T, E)
@@ -258,6 +270,10 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             next_emb = embed_tokens(params, cfg, next_ids)
             return (h, c, next_emb), (logits, alpha)
 
+        if cfg.remat_scan:
+            # prevent_cse=False: inside lax.scan the CSE workaround is
+            # unnecessary (per jax.checkpoint docs) and would block XLA opts.
+            step = jax.checkpoint(step, prevent_cse=False)
         (_, _, _), (preds, alphas) = jax.lax.scan(step, (h, c, prev_emb), step_rngs)
 
     return jnp.swapaxes(preds, 0, 1), jnp.swapaxes(alphas, 0, 1)
