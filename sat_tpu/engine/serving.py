@@ -19,7 +19,8 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                      beam_size: int, fast_topk: bool = False,
                      bf16: bool = False, decode: str = "beam",
                      mesh_data: int = 1, temperature: float = 1.0,
-                     top_k: int = 0, top_p: float = 1.0):
+                     top_k: int = 0, top_p: float = 1.0,
+                     pallas_topk: bool = False):
     """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes
@@ -74,7 +75,8 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                                              with_alphas=True))
         res = beam_search_batched(dec_params, dcfg, feats,
                                   beam_size, fast_topk=fast_topk, bf16=bf16,
-                                  mesh_data=mesh_data)
+                                  mesh_data=mesh_data,
+                                  pallas_topk=pallas_topk)
         return {"tokens": res.tokens, "length": res.length,
                 "score": res.score, "found": res.found,
                 "alphas": res.alphas}

@@ -191,7 +191,8 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         bf16: bool = False,
                         chunk: int | None = 128,
                         mesh_data: int = 1,
-                        backtrack: bool = True) -> BeamResult:
+                        backtrack: bool = True,
+                        pallas_topk: bool = False) -> BeamResult:
     """Natively batched beam search: features (B, L, D) -> BeamResult with
     leading batch dim B.
 
@@ -216,6 +217,12 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     OFF by default — it can pick a different beam than the reference when
     near-ties fall outside the recall bound, so token-exact parity holds
     only for the default.
+
+    `pallas_topk=True` swaps in the EXACT Pallas selection kernel
+    (sat_tpu.ops.topk.exact_topk): identical values/indices to lax.top_k
+    including tie order, but one HBM pass + k VMEM rounds instead of the
+    sort-flavored XLA lowering. Token-exact, so it is a pure perf knob;
+    kept opt-in until measured faster on device (tools/bench_topk.py).
 
     `chunk` caps the images processed per while_loop: per-image decode cost
     is flat to B=128 and DOUBLES at B=256 on v5e (XLA stops fusing the
@@ -249,7 +256,8 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     if eff_chunk and B > eff_chunk:
         parts = [beam_search_batched(params, cfg, features[s:s + eff_chunk],
                                      beam_size, max_steps, dedup, fast_topk,
-                                     bf16, None, backtrack=backtrack)
+                                     bf16, None, backtrack=backtrack,
+                                     pallas_topk=pallas_topk)
                  for s in range(0, B, eff_chunk)]
         return BeamResult(*(jnp.concatenate(f, axis=0)
                             for f in zip(*parts)))
@@ -335,6 +343,10 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             values, flat_idx = jax.lax.approx_max_k(
                 cand.reshape(B, K * V), K, recall_target=0.95,
                 aggregate_to_topk=True)
+        elif pallas_topk:
+            from sat_tpu.ops.topk import exact_topk
+            values, flat_idx = exact_topk(
+                cand.reshape(B, K * V).astype(jnp.float32), K)
         else:
             values, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # (B, K)
         parent = flat_idx // V

@@ -1,0 +1,99 @@
+"""exact_topk (Pallas, interpret mode on CPU) == jax.lax.top_k, exactly.
+
+The beam search's token parity rests on lax.top_k's tie behavior (lower
+index wins, models/beam.py:25), so the kernel must reproduce values AND
+indices bit-for-bit on adversarial inputs: duplicate values, whole rows of
+-inf (retired beam images), rows shorter than the block, k == N.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sat_tpu.ops.topk import exact_topk
+
+
+def _check(x, k, block_b=8):
+    x = jnp.asarray(x, jnp.float32)
+    ref_v, ref_i = jax.lax.top_k(x, k)
+    got_v, got_i = exact_topk(x, k, block_b=block_b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+@pytest.mark.parametrize("B,N,k", [(8, 257, 5), (16, 64, 5), (3, 40, 7),
+                                   (8, 130, 1)])
+def test_random(B, N, k):
+    x = np.random.default_rng(B * N + k).normal(size=(B, N))
+    _check(x, k)
+
+
+def test_massive_ties():
+    rng = np.random.default_rng(0)
+    # values drawn from just 3 distinct levels -> ties everywhere
+    x = rng.choice([1.0, 2.0, 3.0], size=(8, 100))
+    _check(x, 6)
+
+
+def test_neg_inf_rows_and_partial():
+    x = np.random.default_rng(1).normal(size=(8, 50)).astype(np.float32)
+    x[2, :] = -np.inf                     # fully retired image
+    x[5, 10:] = -np.inf                   # mostly masked row
+    x[6, :3] = -np.inf
+    _check(x, 5)
+
+
+def test_duplicates_of_the_max():
+    x = np.zeros((8, 33), np.float32)
+    x[:, 7] = 5.0
+    x[:, 19] = 5.0
+    x[:, 3] = 5.0
+    _check(x, 4)
+
+
+def test_k_equals_n():
+    x = np.random.default_rng(2).normal(size=(4, 9))
+    _check(x, 9, block_b=4)
+
+
+def test_ragged_batch_blocks():
+    # B not a multiple of block_b: last grid block is padded
+    x = np.random.default_rng(3).normal(size=(13, 200))
+    _check(x, 5, block_b=8)
+
+
+def test_beam_shapes():
+    # Flickr8k flagship: (B, K*V) = (64, 5*2633), with live-mask -infs
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(8, 5 * 263)).astype(np.float32)  # scaled-down V
+    x[:, 263:] = -np.inf                  # step-1 row-0-only expansion shape
+    _check(x, 5)
+
+
+def test_beam_with_pallas_topk_is_token_identical():
+    """The full batched beam with pallas_topk=True must produce exactly the
+    default path's tokens/scores (the kernel is exact incl. tie order)."""
+    import torch
+    from tests._reference import import_reference
+    from sat_tpu.compat import decoder_params_from_state_dict
+    from sat_tpu.models import DecoderConfig, init_decoder_params
+    from sat_tpu.models.beam import beam_search_batched
+
+    V, D, L = 40, 32, 9
+    torch.manual_seed(2)
+    ref = import_reference("decoder").Decoder(V, D, tf=False, ado=False,
+                                              bert=False, attention=True)
+    ref.eval()
+    cfg = DecoderConfig(vocab_size=V, encoder_dim=D, use_attention=True)
+    params = decoder_params_from_state_dict(
+        ref.state_dict(), init_decoder_params(jax.random.PRNGKey(0), cfg))
+    feats = np.random.default_rng(8).normal(size=(6, L, D)).astype(np.float32)
+    a = beam_search_batched(params, cfg, feats, 5)
+    b = beam_search_batched(params, cfg, feats, 5, pallas_topk=True)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-5)
