@@ -172,6 +172,35 @@ def _worst_case_decoder(enc_dim: int, dec_rng):
 
 # --------------------------------------------------------------- measurers
 
+def measure_remat_ab() -> dict:
+    """--remat-scan A/B arms (f32/bf16 x remat on/off) at the flagship
+    decoder shapes; returns {variant: [ms-per-step sample per round]} via
+    the shared interleaved-slope measurer (also behind
+    tools/bench_remat.py)."""
+    from sat_tpu.models.decoder import DecoderConfig
+    from sat_tpu.utils.benchmarks import (measure_decoder_grad_ab,
+                                          remat_variant_cfgs)
+
+    base = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
+                         use_ado=True, use_attention=True)
+    return measure_decoder_grad_ab(remat_variant_cfgs(base), batch=64,
+                                   rounds=2)
+
+
+def measure_topk_ab() -> dict:
+    """Worst-case 51-step beam with the default lax.top_k vs the exact
+    Pallas selection kernel; returns {variant: [ms sample per round]} via
+    the shared measurer (also behind tools/bench_topk.py)."""
+    import jax
+
+    from sat_tpu.utils.benchmarks import measure_beam_ab
+
+    cfg, dec_params = _worst_case_decoder(ENC_DIM, jax.random.PRNGKey(0))
+    return measure_beam_ab(dec_params, cfg,
+                           {"lax": {}, "pallas": {"pallas_topk": True}},
+                           batch=64, beam=BEAM, rounds=2)
+
+
 def measure_tpu(fast_mode: bool = False) -> float:
     """Parity mode (default) is token-exact vs the reference. fast_mode=True
     measures the opt-in bf16-encoder/bf16-decode + approx-top-k serving
@@ -761,6 +790,53 @@ def leg_encoder() -> dict:
     return {}
 
 
+def leg_remat() -> dict:
+    """--remat-scan A/B (full train-grad+update device time, B=64, arms
+    interleaved in-process via the shared measure_decoder_grad_ab). The
+    recorded fields are the INTERNAL speedup ratios — phase-robust because
+    both arms share every tunnel phase — plus the winning arms' absolute
+    ms for context. Gates: a non-positive median (device_time floors
+    glitched slopes at 0) or a ratio outside [0.25, 4] is a glitch, not a
+    schedule change — discard."""
+    samples = measure_remat_ab()
+    med = {n: float(np.median(v)) for n, v in samples.items()}
+    if any(v <= 0 for v in med.values()):
+        print(f"implausible remat A/B discarded ({med})", file=sys.stderr)
+        return {}
+    sp_f32 = med["f32"] / med["f32_remat"]
+    sp_bf16 = med["bf16"] / med["bf16_remat"]
+    if not (0.25 <= sp_f32 <= 4 and 0.25 <= sp_bf16 <= 4):
+        print(f"implausible remat speedups discarded "
+              f"(f32={sp_f32:.2f}, bf16={sp_bf16:.2f})", file=sys.stderr)
+        return {}
+    return {"train_remat_speedup_f32": round(sp_f32, 3),
+            "train_remat_speedup_bf16": round(sp_bf16, 3),
+            "train_remat_f32_ms": round(med["f32_remat"], 2),
+            "train_remat_bf16_ms": round(med["bf16_remat"], 2)}
+
+
+def leg_topk() -> dict:
+    """Exact Pallas top-k (--pallas-topk, token-identical) vs the default
+    lax.top_k inside the worst-case 51-step batched beam — the one decode
+    block above its HBM roofline (sort-flavored XLA lowering). Internal
+    A/B ratio, same gates as leg_remat; absolute ms recorded for context.
+    A ratio landing here decides whether pallas_topk becomes the serving
+    default."""
+    samples = measure_topk_ab()
+    med = {n: float(np.median(v)) for n, v in samples.items()}
+    if any(v <= 0 for v in med.values()):
+        print(f"implausible topk A/B discarded ({med})", file=sys.stderr)
+        return {}
+    sp = med["lax"] / med["pallas"]
+    if not 0.25 <= sp <= 4:
+        print(f"implausible topk speedup discarded ({sp:.2f})",
+              file=sys.stderr)
+        return {}
+    return {"beam_pallas_topk_speedup": round(sp, 3),
+            "beam_topk_lax_ms": round(med["lax"], 2),
+            "beam_topk_pallas_ms": round(med["pallas"], 2)}
+
+
 def leg_resnet() -> dict:
     """ResNet152 e2e (VERDICT r3 next #3). Whole-program first; on any
     failure (the ~155-layer HLO has wedged the tunnel's remote-compile
@@ -809,6 +885,8 @@ LEGS = [
     ("blocked", leg_blocked, 200),
     ("latency", leg_latency, 150),
     ("encoder", leg_encoder, 150),
+    ("remat", leg_remat, 420),   # 8 grad-scan compiles dominate the budget
+    ("topk", leg_topk, 300),
     ("resnet", leg_resnet, 300),
     ("densenet", leg_densenet, 300),
 ]
@@ -832,6 +910,8 @@ LEG_PRIMARY_FIELD = {
     "blocked": "train_blocked_rows_per_sec_wall",
     "latency": "single_image_latency_ms",
     "encoder": "encoder_vgg19_tflops",
+    "remat": "train_remat_speedup_f32",
+    "topk": "beam_pallas_topk_speedup",
     "resnet": "captions_per_sec_beam5_resnet152_e2e",
     "densenet": "captions_per_sec_beam5_densenet161_e2e",
 }
@@ -1039,7 +1119,9 @@ def main():
         line = _base_line()
         run_legs(line, _make_saver(run_out))
     else:
-        budget = float(os.environ.get("SAT_BENCH_CHILD_BUDGET_S", "2400"))
+        # default covers the sum of leg watchdogs (~2900s incl. the remat/
+        # topk A/B legs) with headroom for probes between legs
+        budget = float(os.environ.get("SAT_BENCH_CHILD_BUDGET_S", "3300"))
         timed_out, rc = False, None
         try:
             proc = subprocess.run([sys.executable, os.path.abspath(__file__),

@@ -238,6 +238,117 @@ def measure_densenet161_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
     return _measure_stage_plan("densenet", plan, batch, n_lo, n_hi, reps)
 
 
+def measure_decoder_grad_ab(variants, batch: int = 64, rounds: int = 2,
+                            n_lo: int = 2, n_hi: int = 10, reps: int = 3,
+                            progress=None):
+    """Interleaved A/B of the full train-grad+update body across decoder
+    config variants (e.g. remat_scan on/off x bf16_attention on/off).
+
+    DEVICE time per step via sat_tpu.utils.timing.device_time (in-jit
+    repetition slope — tunnel round-trip cancels); variants run round-robin
+    within ONE process so a tunnel phase change corrupts at most one round
+    (CLAUDE.md: never compare numbers across runs minutes apart). Shared by
+    bench.py's leg_remat and tools/bench_remat.py so the measured program
+    cannot drift between the artifact and the A/B tool.
+
+    `variants` maps name -> DecoderConfig (all must share vocab/encoder
+    dims — params are initialized once from the first). Returns
+    {name: [ms-per-step sample per round]}.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sat_tpu.models.decoder import init_decoder_params
+    from sat_tpu.parallel.train_step import _loss_and_metrics, make_optimizer
+    from sat_tpu.utils.timing import device_time
+
+    L, T = 196, 27                      # VGG19 grid, Flickr8k caption cap
+    first = next(iter(variants.values()))
+    rng = np.random.default_rng(0)
+    params = init_on_host(init_decoder_params, jax.random.PRNGKey(0), first)
+    feats = jnp.asarray(rng.normal(
+        size=(batch, L, first.encoder_dim)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(
+        4, first.vocab_size, size=(batch, T)).astype(np.int32))
+    drop = jax.random.PRNGKey(1)
+    tx = make_optimizer()
+
+    def make_body(cfg):
+        def body(carry, i):
+            params, opt_state = carry
+            step_rng = jax.random.fold_in(drop, i)
+            _, grads = jax.value_and_grad(
+                lambda p: _loss_and_metrics(cfg, 1.0, p, feats, caps,
+                                            step_rng, True),
+                has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -1e-4 * u, updates)
+            return (optax.apply_updates(params, updates), opt_state)
+        return body
+
+    carry0 = (params, tx.init(params))
+    samples = {name: [] for name in variants}
+    for r in range(rounds):
+        for name, cfg in variants.items():
+            dt = device_time(make_body(cfg), carry0,
+                             n_lo=n_lo, n_hi=n_hi, reps=reps)
+            samples[name].append(dt * 1e3)
+            if progress:
+                progress(r, name, dt)
+    return samples
+
+
+def remat_variant_cfgs(base):
+    """The four --remat-scan A/B arms from a base DecoderConfig: f32 and
+    bf16-attention, each with and without scan-body rematerialization."""
+    import dataclasses
+    return {
+        "f32": base,
+        "f32_remat": dataclasses.replace(base, remat_scan=True),
+        "bf16": dataclasses.replace(base, bf16_attention=True),
+        "bf16_remat": dataclasses.replace(base, bf16_attention=True,
+                                          remat_scan=True),
+    }
+
+
+def measure_beam_ab(dec_params, cfg, variants, batch: int = 64,
+                    beam: int = 5, rounds: int = 2, n_lo: int = 1,
+                    n_hi: int = 4, reps: int = 3, progress=None):
+    """Interleaved A/B of the worst-case batched beam (callers pin the stop
+    logits, e.g. bench._worst_case_decoder, so all 51 steps run) across
+    beam_search_batched keyword variants (e.g. pallas_topk / fast_topk).
+
+    Same slope/interleaving protocol as measure_decoder_grad_ab; shared by
+    bench.py's leg_topk and tools/bench_topk.py. `variants` maps name ->
+    beam_search_batched extra kwargs. Returns {name: [ms sample/round]}.
+    """
+    import jax.numpy as jnp
+
+    from sat_tpu.models.beam import beam_search_batched
+    from sat_tpu.utils.timing import device_time
+
+    L = 196
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch, L, cfg.encoder_dim)).astype(np.float32))
+
+    def make_body(kw):
+        def body(x, i):
+            r = beam_search_batched(dec_params, cfg, x, beam, **kw)
+            return x + 1e-20 * r.score.sum()
+        return body
+
+    samples = {name: [] for name in variants}
+    for r in range(rounds):
+        for name, kw in variants.items():
+            dt = device_time(make_body(kw), feats,
+                             n_lo=n_lo, n_hi=n_hi, reps=reps)
+            samples[name].append(dt * 1e3)
+            if progress:
+                progress(r, name, dt)
+    return samples
+
+
 def blocked_train_runner(block, feats, caps, lr, base_rng, k, batch,
                          n_bank):
     """One-behind blocked-dispatch driver — the engine/loop.py blocked-epoch

@@ -46,6 +46,12 @@ def bench_stubs(monkeypatch, tmp_path):
                         lambda bf16=False: (11000.0, 1.0e12, 10.0, 55.0))
     monkeypatch.setattr(bench, "measure_train_blocked",
                         lambda **kw: 6100.0)
+    monkeypatch.setattr(bench, "measure_remat_ab",
+                        lambda: {"f32": [6.3, 6.4], "f32_remat": [5.8, 5.9],
+                                 "bf16": [4.9, 5.0],
+                                 "bf16_remat": [4.6, 4.7]})
+    monkeypatch.setattr(bench, "measure_topk_ab",
+                        lambda: {"lax": [6.3, 6.4], "pallas": [5.6, 5.7]})
     monkeypatch.setattr(bench, "measure_resnet_e2e", lambda: 2100.0)
     monkeypatch.setattr(
         bench, "measure_resnet_parts",
@@ -95,6 +101,14 @@ def test_healthy_headline_first_attempt(bench_stubs, capsys):
     assert line["captions_per_sec_beam5_resnet152_e2e"] == 2100.0
     assert line["captions_per_sec_beam5_densenet161_e2e"] == 1700.0
     assert line["encoder_densenet161_tflops"] == 70.0
+    # A/B legs record the phase-robust internal ratios (median over rounds)
+    assert line["train_remat_speedup_f32"] == pytest.approx(6.35 / 5.85,
+                                                            abs=1e-3)
+    assert line["train_remat_speedup_bf16"] == pytest.approx(4.95 / 4.65,
+                                                             abs=1e-3)
+    assert line["beam_pallas_topk_speedup"] == pytest.approx(6.35 / 5.65,
+                                                             abs=1e-3)
+    assert line["beam_topk_pallas_ms"] == pytest.approx(5.65)
 
 
 def test_partials_checkpointed_per_leg(bench_stubs, capsys, tmp_path):
@@ -307,6 +321,31 @@ def test_train_implausible_mfu_discarded(bench_stubs, capsys):
     assert line["train_rows_per_sec"] == 10_500.0
     assert line["train_mfu_pct"] == 9.5
     assert "implausible train measurement discarded" in err
+
+
+def test_ab_leg_zero_median_discarded(bench_stubs, capsys):
+    """device_time floors glitched slopes at 0.0; an A/B arm landing there
+    must discard the leg (a ratio against 0 would be inf), never record."""
+    bench_stubs.setattr(bench, "measure_topk_ab",
+                        lambda: {"lax": [6.3, 6.4], "pallas": [0.0, 0.0]})
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert "beam_pallas_topk_speedup" not in line
+    assert "implausible topk A/B discarded" in err
+    # independent legs unaffected
+    assert line["train_remat_speedup_f32"] > 0
+
+
+def test_ab_leg_absurd_ratio_discarded(bench_stubs, capsys):
+    """A remat 'speedup' of 6x would be a phase glitch, not a schedule
+    change (the arms differ only in residual traffic) — discard."""
+    bench_stubs.setattr(bench, "measure_remat_ab",
+                        lambda: {"f32": [30.0, 30.1], "f32_remat": [5.0, 5.0],
+                                 "bf16": [4.9, 5.0],
+                                 "bf16_remat": [4.6, 4.7]})
+    line, err = _run(bench_stubs, capsys, [2600.0])
+    assert "train_remat_speedup_f32" not in line
+    assert "implausible remat speedups discarded" in err
+    assert line["beam_pallas_topk_speedup"] > 0
 
 
 def test_latency_gate_retries_glitch(bench_stubs, capsys):

@@ -3,9 +3,11 @@
 approx_max_k for context).
 
 Primary number: decode-only device time of the worst-case beam (B=64,
-K=5, stop tokens pinned away so all 51 steps run), slope-measured
-(sat_tpu.utils.timing.device_time — tunnel RT cancels), variants
-interleaved round-robin in ONE process. The pallas kernel is token-exact
+K=5, stop tokens pinned away so all 51 steps run), slope-measured with
+variants interleaved in ONE process — the measurement body is the shared
+`sat_tpu.utils.benchmarks.measure_beam_ab` (also behind bench.py's
+`leg_topk`), and the worst-case decoder recipe is bench's one copy
+(`bench._worst_case_decoder`). The pallas kernel is token-exact
 (tests/test_topk.py), so any win moves the PARITY serving headline, not
 just fast mode.
 
@@ -32,44 +34,23 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from sat_tpu.models.beam import beam_search_batched
-    from sat_tpu.models.decoder import DecoderConfig, init_decoder_params
-    from sat_tpu.utils.benchmarks import init_on_host
+    import bench
+    from sat_tpu.utils.benchmarks import measure_beam_ab
     from sat_tpu.utils.timing import device_time
 
-    B, L, D, V, K = args.batch, 196, 512, 2633, 5
-    cfg = DecoderConfig(vocab_size=V, encoder_dim=D, use_ado=True,
-                        use_attention=True)
-    dec_params = init_on_host(init_decoder_params, jax.random.PRNGKey(0), cfg)
-    # pin the stop logits so every beam runs the full 51-step cap
-    # (bench.py _worst_case_decoder recipe)
-    b = np.asarray(dec_params["ado"]["f_out"]["b"]).copy()
-    b[[1, 102]] = -1e9
-    dec_params["ado"]["f_out"]["b"] = jnp.asarray(b)
+    B, K = args.batch, bench.BEAM
+    cfg, dec_params = bench._worst_case_decoder(bench.ENC_DIM,
+                                                jax.random.PRNGKey(0))
 
-    feats = jnp.asarray(np.random.default_rng(0)
-                        .normal(size=(B, L, D)).astype(np.float32))
+    def progress(r, name, dt):
+        print(f"# round {r} beam/{name}: {dt * 1e3:.2f} ms", file=sys.stderr)
 
-    def beam_body(**kw):
-        def body(x, i):
-            r = beam_search_batched(dec_params, cfg, x, K, **kw)
-            return x + 1e-20 * r.score.sum()
-        return body
-
-    variants = {
-        "lax": beam_body(),
-        "pallas": beam_body(pallas_topk=True),
-        "approx": beam_body(fast_topk=True),
-    }
-    samples = {n: [] for n in variants}
-    for r in range(args.rounds):
-        for name, body in variants.items():
-            dt = device_time(body, feats, n_lo=1, n_hi=4, reps=3)
-            samples[name].append(dt * 1e3)
-            print(f"# round {r} beam/{name}: {dt * 1e3:.2f} ms",
-                  file=sys.stderr)
+    samples = measure_beam_ab(
+        dec_params, cfg,
+        {"lax": {}, "pallas": {"pallas_topk": True},
+         "approx": {"fast_topk": True}},
+        batch=B, beam=K, rounds=args.rounds, progress=progress)
     med = {n: float(np.median(v)) for n, v in samples.items()}
     out = {"batch": B, "rounds": args.rounds,
            **{f"beam_{n}_ms": round(v, 3) for n, v in med.items()},
@@ -78,9 +59,12 @@ def main():
            "pallas_speedup": round(med["lax"] / med["pallas"], 3)}
 
     if args.isolated:
+        import jax.numpy as jnp
+
         from sat_tpu.ops.topk import exact_topk
         cand = jnp.asarray(np.random.default_rng(1)
-                           .normal(size=(B, K * V)).astype(np.float32))
+                           .normal(size=(B, K * bench.VOCAB))
+                           .astype(np.float32))
 
         def iso(fn):
             def body(s, i):
