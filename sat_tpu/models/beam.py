@@ -223,6 +223,10 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     including tie order, but one HBM pass + k VMEM rounds instead of the
     sort-flavored XLA lowering. Token-exact, so it is a pure perf knob;
     kept opt-in until measured faster on device (tools/bench_topk.py).
+    Verified token-identical under the CPU serving meshes (8x1 data, 4x2
+    vocab-sharded; tests/test_parallel.py) — but on real multi-chip
+    hardware GSPMD may replicate rather than partition the custom call,
+    so re-A/B before combining it with a multi-chip serving mesh.
 
     `chunk` caps the images processed per while_loop: per-image decode cost
     is flat to B=128 and DOUBLES at B=256 on v5e (XLA stops fusing the

@@ -306,6 +306,37 @@ def test_beam_search_under_tensor_parallel_sharding():
                                np.asarray(res_rep.score), rtol=1e-5)
 
 
+def test_beam_pallas_topk_under_mesh_shardings():
+    """--pallas-topk must stay token-identical under the serving meshes
+    (8x1 data-sharded features; 4x2 with vocab-sharded heads) before it
+    can ever become the default: the kernel is a custom call, so GSPMD
+    has to partition or replicate it without changing the selection."""
+    from sat_tpu.models.beam import beam_search_batched
+
+    _, cfg, _, dec_rep1 = _setup(1, 1)
+    feats = np.random.default_rng(5).normal(size=(8, 196, 512)) \
+        .astype(np.float32)
+    run = jax.jit(lambda p, f: beam_search_batched(
+        p, cfg, f, beam_size=3, max_steps=12, pallas_topk=True))
+    ref = run(dec_rep1, feats)
+    # baseline sanity: pallas arm == default arm unsharded
+    base = jax.jit(lambda p, f: beam_search_batched(
+        p, cfg, f, beam_size=3, max_steps=12))(dec_rep1, feats)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(base.tokens))
+
+    for n_data, n_model in ((8, 1), (4, 2)):
+        mesh, _, _, dec_sh = _setup(n_data, n_model)
+        res = run(dec_sh, jax.device_put(feats, batch_sharding(mesh)))
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens),
+                                      err_msg=f"mesh {n_data}x{n_model}")
+        np.testing.assert_array_equal(np.asarray(res.length),
+                                      np.asarray(ref.length))
+        np.testing.assert_allclose(np.asarray(res.score),
+                                   np.asarray(ref.score), rtol=1e-5)
+
+
 def test_elastic_resume_across_mesh_sizes(tmp_path):
     """Fault-tolerance + elasticity: a checkpoint written by a 1-device run
     resumes onto the full 8-device mesh (Orbax restore re-places leaves
