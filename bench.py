@@ -187,6 +187,26 @@ def measure_remat_ab() -> dict:
                                    rounds=2)
 
 
+def assert_topk_exact_on_device() -> None:
+    """Exactness gate for the Pallas top-k BEFORE any on-device A/B: the
+    CPU tests run the kernel in interpret mode, which cannot see Mosaic's
+    padded-lane masking (K*V = 13,165 is not lane-aligned). If the
+    real-TPU compile disagrees with lax.top_k on the flagship candidate
+    shape, this raises — the leg then records an error instead of a
+    speedup for a wrong kernel. Shared with tools/bench_topk.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from sat_tpu.ops.topk import exact_topk
+
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(64, BEAM * VOCAB)).astype(np.float32))
+    rv, ri = jax.lax.top_k(x, BEAM)
+    gv, gi = exact_topk(x, BEAM)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+
+
 def measure_topk_ab() -> dict:
     """Worst-case 51-step beam with the default lax.top_k vs the exact
     Pallas selection kernel; returns {variant: [ms sample per round]} via
@@ -195,6 +215,7 @@ def measure_topk_ab() -> dict:
 
     from sat_tpu.utils.benchmarks import measure_beam_ab
 
+    assert_topk_exact_on_device()
     cfg, dec_params = _worst_case_decoder(ENC_DIM, jax.random.PRNGKey(0))
     return measure_beam_ab(dec_params, cfg,
                            {"lax": {}, "pallas": {"pallas_topk": True}},

@@ -40,6 +40,8 @@ def main():
     from sat_tpu.utils.timing import device_time
 
     B, K = args.batch, bench.BEAM
+    bench.assert_topk_exact_on_device()
+    print("# on-device exactness gate passed", file=sys.stderr)
     cfg, dec_params = bench._worst_case_decoder(bench.ENC_DIM,
                                                 jax.random.PRNGKey(0))
 
