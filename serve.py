@@ -24,6 +24,7 @@ Shutdown: SIGTERM/SIGINT, or a client line {"cmd": "shutdown"}.
 from __future__ import annotations
 
 import argparse
+import collections
 import itertools
 import json
 import os
@@ -60,7 +61,14 @@ class CaptionServer:
         self._sock: socket.socket | None = None
         self._t_start = time.monotonic()
         self._stats_lock = threading.Lock()
-        self.stats = {"requests": 0, "batches": 0, "errors": 0, "expired": 0}
+        self.stats = {"requests": 0, "batches": 0, "errors": 0, "expired": 0,
+                      "captioned": 0}
+        # End-to-end (enqueue -> reply) latencies of recent successful
+        # captions, seconds; bounded so a long-lived daemon's stats cost
+        # stays O(1). 1024 samples keep p99 meaningful at the default
+        # max_batch without holding more than a few KB.
+        self._latencies: "collections.deque[float]" = collections.deque(
+            maxlen=1024)
 
     def _count(self, key: str, n: int = 1) -> None:
         with self._stats_lock:   # += on a dict int is not atomic
@@ -160,15 +168,38 @@ class CaptionServer:
         if req.get("cmd") == "stats":
             with self._stats_lock:   # consistent snapshot vs the batch loop
                 snapshot = dict(self.stats)
-            reply({**snapshot, "uptime_s": round(
-                time.monotonic() - self._t_start, 1)})
+                lats = sorted(self._latencies)
+            snapshot["uptime_s"] = round(
+                time.monotonic() - self._t_start, 1)
+            # approximate: qsize is advisory, but operators only need scale
+            snapshot["queue_depth"] = self._requests.qsize()
+            if lats:
+                def pct(p):
+                    return round(
+                        lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 2)
+                snapshot["latency_samples"] = len(lats)
+                snapshot["latency_p50_ms"] = pct(0.50)
+                snapshot["latency_p95_ms"] = pct(0.95)
+                snapshot["latency_p99_ms"] = pct(0.99)
+            reply(snapshot)
             return
         if "path" not in req:
             self._count("errors")
             reply({"id": req.get("id"), "error": "missing 'path'"})
             return
         self._count("requests")
-        self._requests.put((req, reply, time.monotonic()))
+        t0 = time.monotonic()
+
+        def timed_reply(obj, _reply=reply):
+            # successful captions feed the latency ring (errors/expiries
+            # would skew the percentiles toward the failure paths)
+            if "caption" in obj:
+                with self._stats_lock:
+                    self.stats["captioned"] += 1
+                    self._latencies.append(time.monotonic() - t0)
+            _reply(obj)
+
+        self._requests.put((req, timed_reply, t0))
 
     # -- device side ---------------------------------------------------------
 

@@ -137,12 +137,22 @@ def test_error_paths(served):
 
 
 def test_stats_command(served):
-    server, port, _, _ = served
+    server, port, paths, _ = served
     s, f = _client(port)
+    # at least one successful caption through THIS test so the latency
+    # ring is provably non-empty regardless of test ordering
+    assert "caption" in _ask(f, {"id": "st", "path": paths[0]})
     stats = _ask(f, {"cmd": "stats"})
     s.close()
     assert stats["requests"] == server.stats["requests"]
     assert stats["batches"] >= 1 and stats["uptime_s"] >= 0
+    # operator surface: queue scale + end-to-end latency percentiles of
+    # successful captions (enqueue -> reply, wall-clock)
+    assert stats["queue_depth"] >= 0
+    assert stats["captioned"] >= 1
+    assert stats["latency_samples"] >= 1
+    assert 0 < stats["latency_p50_ms"] <= stats["latency_p95_ms"] \
+        <= stats["latency_p99_ms"]
 
 
 def test_load_tool_against_server(served):
