@@ -75,10 +75,22 @@ def run_load(host: str, port: int, paths: list, n_requests: int,
         return round(latencies[min(len(latencies) - 1,
                                    int(p * len(latencies)))] * 1e3, 2)
 
-    return {"requests": n_requests, "errors": errors[0],
-            "seconds": round(wall, 3),
-            "req_per_sec": round(len(latencies) / wall, 2) if wall else 0,
-            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+    out = {"requests": n_requests, "errors": errors[0],
+           "seconds": round(wall, 3),
+           "req_per_sec": round(len(latencies) / wall, 2) if wall else 0,
+           "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+    # the server's own view (batch coalescing, queue depth, its in-daemon
+    # latency percentiles) next to the client-side numbers
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        f = sock.makefile("rwb")
+        f.write(b'{"cmd": "stats"}\n')
+        f.flush()
+        out["server_stats"] = json.loads(f.readline())
+        sock.close()
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def main():
