@@ -283,7 +283,13 @@ def measure_tpu(fast_mode: bool = False) -> float:
             encoder_forward(enc_params, "vgg19", x, enc_dtype)
             .astype(jnp.float32),
             BEAM, fast_topk=fast_mode, bf16=fast_mode)
-        return x + 1e-20 * r.score.sum()    # chain, defeat CSE
+        # chain on TOKENS, not score: the worst-case beam never
+        # completes, so score is -inf and would poison the carry
+        # (every rep after the first would decode -inf/NaN inputs
+        # and the slope would measure a DIFFERENT program - the
+        # early-exit/NaN beam, not the 51-step worst case). Tokens
+        # are always finite and data-depend on the full decode.
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     dt = device_time(body, imgs_j, n_lo=1, n_hi=4, reps=5)
     return BATCH / dt
@@ -446,7 +452,8 @@ def measure_latency() -> float:
     def body(x, i):
         feats = encoder_forward(enc_params, "vgg19", x)[0]
         r = beam_search(dec_params, cfg, feats, BEAM)
-        return x + 1e-20 * r.score
+        # tokens, not score: see measure_tpu (worst-case score is -inf)
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     return device_time(body, img, n_lo=1, n_hi=11, reps=5) * 1e3
 
@@ -474,7 +481,8 @@ def measure_resnet_e2e() -> float:
     def body(x, i):
         feats = encoder_forward(enc_params, "resnet152", x)
         r = beam_search_batched(dec_params, cfg, feats, BEAM)
-        return x + 1e-20 * r.score.sum()
+        # tokens, not score: see measure_tpu (worst-case score is -inf)
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     dt = device_time(body, imgs, n_lo=1, n_hi=3, reps=3)
     if dt <= 0:
@@ -503,7 +511,8 @@ def measure_resnet_parts() -> dict:
 
     def body(x, i):
         r = beam_search_batched(dec_params, cfg, x, BEAM)
-        return x + 1e-20 * r.score.sum()
+        # tokens, not score: see measure_tpu (worst-case score is -inf)
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     t_dec = device_time(body, feats, n_lo=1, n_hi=3, reps=3)
     if t_enc <= 0 or t_dec <= 0:
@@ -548,7 +557,8 @@ def measure_densenet_parts() -> dict:
 
     def body(x, i):
         r = beam_search_batched(dec_params, cfg, x, BEAM)
-        return x + 1e-20 * r.score.sum()
+        # tokens, not score: see measure_tpu (worst-case score is -inf)
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     t_dec = device_time(body, feats, n_lo=1, n_hi=3, reps=3)
     if t_enc <= 0 or t_dec <= 0:

@@ -9,11 +9,15 @@ XLA lowers small-k top-k through a sort-flavored path. For k this small
 candidates HBM -> VMEM, then k rounds of max/argmin entirely in VMEM on
 the VPU.
 
-Selection order matches `lax.top_k` EXACTLY, including ties (lower index
-first — beam-search token parity depends on it, models/beam.py:25) and
-all-(-inf) rows (indices 0..k-1 in order, which the beam's retired-image
-rows rely on). Property-tested against `lax.top_k` on adversarial inputs
-(ties, -inf rows, +/-0) in tests/test_topk.py.
+Selection order matches `lax.top_k` EXACTLY for NaN-free input, including
+ties (lower index first — beam-search token parity depends on it,
+models/beam.py:25) and all-(-inf) rows (indices 0..k-1 in order, which the
+beam's retired-image rows rely on). NaN candidates rank as -inf (the
+beam's scores are NaN-free by construction; lax.top_k's own NaN placement
+is backend-defined, so no exactness contract is possible there — the
+kernel just guarantees deterministic, in-range output). Property-tested
+against `lax.top_k` on adversarial inputs (ties, -inf rows, +/-0) in
+tests/test_topk.py.
 
 Used by `beam_search_batched(pallas_topk=True)`; exactness means it can
 replace the default flat top-k with no semantics change once measured
@@ -45,6 +49,14 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, n: int):
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     taken = jnp.zeros(x.shape, jnp.bool_)
     neg_inf = jnp.float32(-jnp.inf)
+    # NaN candidates rank as -inf: without this, a NaN row's max is NaN,
+    # the equality filter matches nothing, and the argmin would emit the
+    # out-of-range sentinel N (downstream beam gathers then silently
+    # clamp). lax.top_k's NaN placement is backend-defined, so exact
+    # parity is only contracted for NaN-free input (the beam's candidate
+    # scores are NaN-free by construction); this just keeps the kernel's
+    # output deterministic and in-range when that contract is violated.
+    x = jnp.where(jnp.isnan(x), neg_inf, x)
     for i in range(k):                                      # k static, tiny
         xm = jnp.where(taken, neg_inf, x)
         m = jnp.max(xm, axis=1, keepdims=True)              # (Bt, 1)

@@ -335,7 +335,13 @@ def measure_beam_ab(dec_params, cfg, variants, batch: int = 64,
     def make_body(kw):
         def body(x, i):
             r = beam_search_batched(dec_params, cfg, x, beam, **kw)
-            return x + 1e-20 * r.score.sum()
+            # chain on TOKENS, not score: the worst-case beam never
+            # completes, so score is -inf and would poison the carry —
+            # every rep after the first would decode -inf/NaN features,
+            # and (worse for an A/B) the two arms can then run different
+            # trip counts on the garbage inputs. Tokens are always finite
+            # and data-depend on the full decode.
+            return x + 1e-20 * r.tokens.sum().astype(x.dtype)
         return body
 
     samples = {name: [] for name in variants}

@@ -53,6 +53,33 @@ def test_duplicates_of_the_max():
     _check(x, 4)
 
 
+def test_nan_ranks_as_neg_inf_in_range():
+    """NaN candidates must never produce the out-of-range sentinel index
+    (review r4: a NaN row used to emit index N for every slot, which the
+    beam's parent gather silently clamps). lax.top_k's NaN placement is
+    backend-defined so no cross-impl exactness is contracted; the kernel
+    ranks NaN as -inf — deterministic and always in range."""
+    import jax.numpy as jnp
+
+    from sat_tpu.ops.topk import exact_topk
+
+    x = np.random.default_rng(9).normal(size=(8, 50)).astype(np.float32)
+    x[1, 7] = np.nan                      # one poisoned candidate
+    x[4, :] = np.nan                      # fully poisoned row
+    got_v, got_i = exact_topk(jnp.asarray(x), 5, interpret=True)
+    got_v, got_i = np.asarray(got_v), np.asarray(got_i)
+    assert got_i.min() >= 0 and got_i.max() < 50
+    # single-NaN row: identical to the same row with that entry at -inf
+    x2 = x.copy()
+    x2[1, 7] = -np.inf
+    x2[4, :] = -np.inf
+    import jax
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(x2), 5)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+    # the all-NaN row selects columns 0..4 like an all--inf row
+    np.testing.assert_array_equal(got_i[4], np.arange(5))
+
+
 def test_k_equals_n():
     x = np.random.default_rng(2).normal(size=(4, 9))
     _check(x, 9, block_b=4)

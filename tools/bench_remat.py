@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--rounds", type=int, default=3,
                     help="interleaved measurement rounds per variant")
-    ap.add_argument("--ado", action="store_true", default=True)
+    ap.add_argument("--ado", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-ado measures the simple-head decoder A/B")
     args = ap.parse_args()
 
     from sat_tpu.models.decoder import DecoderConfig

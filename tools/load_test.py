@@ -82,12 +82,11 @@ def run_load(host: str, port: int, paths: list, n_requests: int,
     # the server's own view (batch coalescing, queue depth, its in-daemon
     # latency percentiles) next to the client-side numbers
     try:
-        sock = socket.create_connection((host, port), timeout=10)
-        f = sock.makefile("rwb")
-        f.write(b'{"cmd": "stats"}\n')
-        f.flush()
-        out["server_stats"] = json.loads(f.readline())
-        sock.close()
+        with socket.create_connection((host, port), timeout=10) as sock:
+            f = sock.makefile("rwb")
+            f.write(b'{"cmd": "stats"}\n')
+            f.flush()
+            out["server_stats"] = json.loads(f.readline())
     except (OSError, ValueError):
         pass
     return out
