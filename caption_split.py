@@ -45,6 +45,10 @@ def main():
                         help="use the TPU-optimized approximate top-k in "
                              "beam search (~1.3x decode; near-ties may "
                              "pick a different beam than the reference)")
+    parser.add_argument("--pallas-topk", action="store_true", default=False,
+                        help="exact Pallas top-k selection kernel in the "
+                             "beam (token-identical to the default; A/B "
+                             "with tools/bench_topk.py)")
     parser.add_argument("--bf16-decode", action="store_true", default=False,
                         help="store the annotation grid + attention keys "
                              "in bfloat16 during beam search (~1.14x "
@@ -132,6 +136,7 @@ def main():
         if args.decode == "beam":
             return beam_search_batched(d, dcfg, feats, args.beam_size,
                                        fast_topk=args.fast_topk,
+                                       pallas_topk=args.pallas_topk,
                                        bf16=args.bf16_decode,
                                        mesh_data=max(pad_to, 1))
         if args.decode == "greedy":

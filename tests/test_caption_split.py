@@ -42,6 +42,18 @@ def test_caption_split_cli(tmp_path, monkeypatch, capsys):
     assert len(rows) == 4
     assert all("caption" in r and "img_path" in r for r in rows)
 
+    # --pallas-topk (exact selection kernel) is token-identical end-to-end
+    out_pl = str(tmp_path / "caps_pl.jsonl")
+    monkeypatch.setattr(sys, "argv", [
+        "caption_split.py", "--model",
+        str(tmp_path / "model" / "model_vgg19_1.npz"),
+        "--split", "test", "--beam-size", "2", "--batch-size", "2",
+        "--pallas-topk", "--out", out_pl])
+    caption_split.main()
+    capsys.readouterr()
+    rows_pl = [json.loads(l) for l in open(out_pl)]
+    assert [r["caption"] for r in rows_pl] == [r["caption"] for r in rows]
+
     # --decode greedy and --decode sample drive the same CLI surface
     for mode, extra in (("greedy", []),
                         ("sample", ["--temperature", "0.8", "--top-k", "4"])):
