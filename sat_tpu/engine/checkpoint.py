@@ -36,33 +36,68 @@ def _fetch_host(leaf) -> np.ndarray:
     return np.asarray(leaf)
 
 
+def _keypath_name(key_path) -> str:
+    """Archive entry name for a tree key path. One copy (save + load both
+    use it, so round-tripping can't drift); handles dict keys, sequence
+    indices, AND namedtuple/attr entries (GetAttrKey has `.name`, neither
+    `.key` nor `.idx` — previously fell through to `str(p)`, yielding
+    dot-prefixed names)."""
+    def part(p):
+        for attr in ("key", "name", "idx"):   # Dict / GetAttr / Sequence
+            if hasattr(p, attr):
+                return str(getattr(p, attr))
+        return str(p)
+    return "/".join(part(p) for p in key_path)
+
+
 def _flatten_with_names(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for key_path, leaf in flat:
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in key_path)
-        out[name] = _fetch_host(leaf)
+        out[_keypath_name(key_path)] = _fetch_host(leaf)
     return out
 
 
 def tree_save_npz(path: str, tree) -> None:
     """Flatten + write. On multi-host, every process must call (sharded
-    leaves gather collectively) but only process 0 writes the file."""
+    leaves gather collectively) but only process 0 writes the file.
+
+    The write is atomic (tmp + rename): a crash or preemption mid-write
+    must never leave a truncated archive at the published checkpoint name
+    — matching the commit discipline of the orbax tier (prune only after
+    commit)."""
     flat = _flatten_with_names(tree)
     if jax.process_index() == 0:
-        np.savez(path, **flat)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
 
 
-def tree_load_npz(path: str, template):
-    """Load an npz written by tree_save_npz into `template`'s structure."""
+def tree_load_npz(path: str, template, strict: bool = True):
+    """Load an npz written by tree_save_npz into `template`'s structure.
+
+    `strict` mirrors the .pth path's contract (compat/torch_decoder.py):
+    archive entries the template doesn't expect raise instead of being
+    silently dropped (review r4: an ado-trained checkpoint loaded into a
+    no-ado template used to discard the ado head without a sound), and
+    dtype mismatches raise rather than silently reinterpreting."""
     data = np.load(path)
     flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    names = [_keypath_name(kp) for kp, _ in flat]
+    if strict:
+        unexpected = sorted(set(data.files) - set(names))
+        if unexpected:
+            raise KeyError(
+                f"unexpected keys in checkpoint {path}: {unexpected}")
     leaves = []
-    for key_path, leaf in flat:
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in key_path)
+    for name, (key_path, leaf) in zip(names, flat):
         arr = data[name]
         if arr.shape != np.shape(leaf):
             raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {np.shape(leaf)}")
+        expected_dtype = np.asarray(leaf).dtype
+        if strict and arr.dtype != expected_dtype:
+            raise ValueError(f"{name}: checkpoint dtype {arr.dtype} != "
+                             f"expected {expected_dtype}")
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(template), leaves)
 
@@ -92,7 +127,7 @@ def load_decoder_checkpoint(path: str, template, strict: bool = True):
                 raise
             print("Strict loading failed, loading with strict=False")
             return decoder_params_from_state_dict(sd, template, strict=False)
-    return tree_load_npz(path, template)
+    return tree_load_npz(path, template, strict=strict)
 
 
 # ------------------------------------------------------------------ orbax

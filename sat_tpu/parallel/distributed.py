@@ -17,6 +17,26 @@ from __future__ import annotations
 import os
 
 
+def _cluster_env_present() -> bool:
+    """True when jax's own cluster auto-detection would find a managed
+    environment (SLURM / OpenMPI / GCE- or GKE-TPU pod slice / K8s jobset).
+
+    None of these set the env vars the explicit hint check looks at — a
+    plain GCE multi-host TPU slice advertises itself only through the
+    metadata server (review r4: the hint-only guard silently skipped
+    distributed init there, leaving every host training an independent
+    duplicate on the full dataset). Probing jax's detector classes keeps
+    this module's guard and jax.distributed.initialize's own detection in
+    agreement. Private-API probe, so any failure degrades to the
+    hint-only behavior rather than breaking single-host startup."""
+    try:
+        from jax._src import clusters
+        return any(c.is_env_present()
+                   for c in clusters.ClusterEnv._cluster_types)
+    except Exception:
+        return False
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
@@ -38,7 +58,8 @@ def initialize(coordinator_address: str | None = None,
                             "MEGASCALE_COORDINATOR_ADDRESS"))
         workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
         multi_worker = workers not in ("", "localhost") and "," in workers
-        if not coord_hinted and not multi_worker:
+        if not coord_hinted and not multi_worker \
+                and not _cluster_env_present():
             return  # single host — nothing to do
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,

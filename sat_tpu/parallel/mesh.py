@@ -28,11 +28,28 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(n_data: int = 0, n_model: int = 1, devices=None) -> Mesh:
-    """n_data=0 means "all remaining devices on the data axis"."""
+    """n_data=0 means "all remaining devices on the data axis".
+
+    Validates the request against the actual device count: too few devices
+    raises with the counts spelled out (CLI flags flow straight through
+    loop.py, and the raw numpy reshape error named neither); a request
+    that leaves devices idle warns but proceeds (legitimate when pinning a
+    sub-mesh, surprising when a flag typo halves the fleet)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data <= 0:
         n_data = max(1, len(devices) // max(n_model, 1))
     used = n_data * n_model
+    if used > len(devices):
+        raise ValueError(
+            f"mesh data={n_data} x model={n_model} needs {used} devices, "
+            f"but only {len(devices)} are visible "
+            f"({[str(d) for d in devices[:4]]}{'...' if len(devices) > 4 else ''}); "
+            f"reduce --mesh-data/--mesh-model or launch with more devices")
+    if used < len(devices):
+        import sys
+        print(f"make_mesh: using {used} of {len(devices)} devices "
+              f"(data={n_data} x model={n_model}); "
+              f"{len(devices) - used} devices left idle", file=sys.stderr)
     grid = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

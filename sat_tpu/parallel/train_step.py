@@ -45,6 +45,20 @@ def make_optimizer() -> optax.GradientTransformation:
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
 
 
+def apply_update(tx, state: TrainState, grads, lr) -> TrainState:
+    """Adam update + step increment — the ONE copy of the update rule
+    (review r4: it was pasted verbatim into the plain, bank, and blocked
+    step builders; make_bank_train_block's bit-identical-numerics promise
+    depends on all paths applying exactly this sequence). The lr rides
+    OUTSIDE scale_by_adam (negated here) so the schedule changes per call
+    without retracing."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=state.step + 1)
+
+
 def init_train_state(params: dict) -> TrainState:
     tx = make_optimizer()
     return TrainState(params=params, opt_state=tx.init(params),
@@ -128,13 +142,7 @@ def make_train_step(dcfg: DecoderConfig, network: str, alpha_c: float,
                                         rep_penalty_beta),
             has_aux=True)(state.params)
         metrics = aux[0]
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
-        return new_state, metrics
+        return apply_update(tx, state, grads, lr), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -166,11 +174,7 @@ def make_bank_train_step(dcfg: DecoderConfig, alpha_c: float,
                                         rep_penalty_beta),
             has_aux=True)(state.params)
         metrics = aux[0]
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), metrics
+        return apply_update(tx, state, grads, lr), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -212,11 +216,7 @@ def make_bank_train_block(dcfg: DecoderConfig, alpha_c: float,
                                             captions, rng, True, mask,
                                             rep_penalty_beta),
                 has_aux=True)(st.params)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params)
-            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            params = optax.apply_updates(st.params, updates)
-            return TrainState(params=params, opt_state=opt_state,
-                              step=st.step + 1), aux[0]
+            return apply_update(tx, st, grads, lr), aux[0]
 
         k = img_idx.shape[0]
         state, metrics = jax.lax.scan(
