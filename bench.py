@@ -292,7 +292,10 @@ def measure_tpu(fast_mode: bool = False) -> float:
         return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
     dt = device_time(body, imgs_j, n_lo=1, n_hi=4, reps=5)
-    return BATCH / dt
+    # device_time floors a glitched (negative) slope at 0.0; return inf so
+    # the leg's >20k plausibility gate discards and retries instead of the
+    # ZeroDivisionError aborting the whole leg (review r4)
+    return BATCH / dt if dt > 0 else float("inf")
 
 
 from sat_tpu.utils.benchmarks import (V5E_HBM_BYTES_PER_SEC,  # noqa: E402
@@ -368,6 +371,9 @@ def measure_train(bf16_attention: bool = False):
         return (optax.apply_updates(params, updates), opt_state)
 
     dt = device_time(body, (params, tx.init(params)), n_lo=2, n_hi=10)
+    if dt <= 0:
+        # glitched slope floored at 0.0 -> let the >=100k gate discard it
+        return float("inf"), flops, None, None
     rows_per_sec = B / dt
     mfu_pct = (flops / dt) / V5E_PEAK_FLOPS * 100 if flops else None
     hbm_util_pct = ((hbm_bytes / dt) / V5E_HBM_BYTES_PER_SEC * 100
@@ -487,7 +493,7 @@ def measure_resnet_e2e() -> float:
     dt = device_time(body, imgs, n_lo=1, n_hi=3, reps=3)
     if dt <= 0:
         raise RuntimeError("implausible resnet e2e slope (dt<=0)")
-    return BATCH_RESNET / dt
+    return BATCH_RESNET / dt if dt > 0 else float("inf")
 
 
 def measure_resnet_parts() -> dict:

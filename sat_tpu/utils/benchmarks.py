@@ -156,6 +156,7 @@ def _measure_stage_plan(what: str, plan, batch: int, n_lo: int, n_hi: int,
     from sat_tpu.utils.timing import device_time
 
     stages, total_flops, total_sec = [], 0.0, 0.0
+    flops_complete = True
     for name, fn, shape in plan:
         x = jnp.asarray(np.random.default_rng(0).normal(size=shape)
                         .astype(np.float32))
@@ -170,9 +171,15 @@ def _measure_stage_plan(what: str, plan, batch: int, n_lo: int, n_hi: int,
         total_sec += dt
         if flops:
             total_flops += flops
+        else:
+            flops_complete = False
     out = {"stages": stages, "sec_per_batch": total_sec,
            "imgs_per_sec": round(batch / total_sec, 1)}
-    if total_flops:
+    # TFLOP/s and MFU only when EVERY stage reported cost-analysis flops:
+    # a partial flops sum over the full summed time would emit a
+    # plausible-looking but understated number into the artifact
+    # (review r4) — compiled_flops returns None on any backend hiccup.
+    if total_flops and flops_complete:
         out["tflops_per_sec"] = total_flops / total_sec / 1e12
         out["mfu_pct_vs_bf16_peak"] = (total_flops / total_sec
                                        / V5E_PEAK_FLOPS * 100)

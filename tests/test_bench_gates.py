@@ -272,6 +272,16 @@ def test_all_low_headline_annotated_not_silent(bench_stubs, capsys):
     assert line["vs_baseline"] == pytest.approx(450.0)
 
 
+def test_zero_slope_inf_headline_discarded(bench_stubs, capsys):
+    """device_time floors glitched slopes at 0.0; the measurers return inf
+    for that case (review r4: the bare division used to ZeroDivisionError
+    and abort the leg, skipping its retries). inf must ride the normal
+    high-glitch discard+retry path."""
+    line, err = _run(bench_stubs, capsys, [float("inf"), 2650.0])
+    assert line["value"] == 2650.0
+    assert "implausible serving measurement discarded" in err
+
+
 def test_high_headline_glitch_discarded(bench_stubs, capsys):
     line, err = _run(bench_stubs, capsys, [50_000.0, 2700.0])
     assert line["value"] == 2700.0

@@ -47,6 +47,10 @@ def main():
                                       batch=args.batch, rounds=args.rounds,
                                       progress=progress)
     med = {n: float(np.median(v)) for n, v in samples.items()}
+    bad = [n for n, v in med.items() if v <= 0]
+    if bad:
+        raise SystemExit(f"implausible zero-slope medians for {bad} "
+                         f"(RT-dominated glitch phase); samples={samples}")
     out = {"batch": args.batch, "rounds": args.rounds,
            **{f"{n}_ms_per_step": round(v, 3) for n, v in med.items()},
            **{f"{n}_rows_per_sec": round(args.batch / v * 1e3, 1)

@@ -54,6 +54,10 @@ def main():
          "approx": {"fast_topk": True}},
         batch=B, beam=K, rounds=args.rounds, progress=progress)
     med = {n: float(np.median(v)) for n, v in samples.items()}
+    bad = [n for n, v in med.items() if v <= 0]
+    if bad:
+        raise SystemExit(f"implausible zero-slope medians for {bad} "
+                         f"(RT-dominated glitch phase); samples={samples}")
     out = {"batch": B, "rounds": args.rounds,
            **{f"beam_{n}_ms": round(v, 3) for n, v in med.items()},
            **{f"beam_{n}_captions_per_sec": round(B / v * 1e3, 1)

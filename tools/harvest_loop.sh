@@ -13,8 +13,20 @@
 # the harvest incomplete for the rest of the round).
 #
 # Usage: nohup tools/harvest_loop.sh [logfile] & echo $! > /tmp/harvest_loop.pid
+#
+# Single-instance: an flock on /tmp/sat_harvest_loop.lock. Sessions restart
+# every few minutes and each is tempted to start "the" loop; two loops
+# dispatch measurement programs to the chip CONCURRENTLY (interleaved
+# slope pairs corrupt each other in ways the plausibility gates can miss)
+# and fight over the 1-core host (review r4 — the merge_partials flock
+# only serializes the JSON write, not the measuring).
 cd "$(dirname "$0")/.." || exit 1
 LOG=${1:-/tmp/harvest.log}
+exec 9>/tmp/sat_harvest_loop.lock
+if ! flock -n 9; then
+  echo "harvest_loop already running (lock held); exiting" >> "$LOG"
+  exit 0
+fi
 for i in $(seq 1 150); do
   echo "=== attempt $i $(date -u +%FT%TZ)" >> "$LOG"
   timeout 3600 python tools/measure_now.py all --probe-timeout 90 \
@@ -27,7 +39,10 @@ import bench
 f = bench.load_partials(bench._partials_path())["fields"]
 missing = [n for n in bench.LEG_PRIMARY_FIELD
            if not bench.harvested_leg_clean(f, n)]
-print("harvest incomplete:", ", ".join(missing) or "(none)")
+if missing:
+    print("harvest incomplete:", ", ".join(missing))
+else:
+    print("all legs harvested clean")
 sys.exit(1 if missing else 0)
 PY
   sleep 240

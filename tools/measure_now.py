@@ -46,7 +46,7 @@ def main() -> int:
     if args.list:
         print("\n".join(names))
         return 0
-    wanted = args.legs or ["all"]
+    wanted = args.legs            # nargs='*' default=["all"] -> non-empty
     if wanted == ["all"]:
         wanted = names
     unknown = [w for w in wanted if w not in names]
