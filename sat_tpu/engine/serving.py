@@ -50,15 +50,22 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
         return feats.astype(jnp.float32)
 
     def pack_scan(tokens, lengths, alphas):
-        """greedy/sample output -> the beam result layout (start prepended)."""
+        """greedy/sample output -> the beam result layout (start prepended).
+
+        The all-ones alpha row for the start token is prepended too, so
+        alphas row t belongs to tokens column t exactly like the beam
+        layout (and generate_caption.py's direct greedy path) — without
+        it every attention map rendered one token late and the final
+        token's map was lost (review r4)."""
         B, max_steps = tokens.shape
         start = jnp.full((B, 1), dcfg.start_token, tokens.dtype)
+        ones = jnp.ones((B, 1, alphas.shape[-1]), alphas.dtype)
         return {"tokens": jnp.concatenate([start, tokens], axis=1),
                 "length": jnp.minimum(lengths, max_steps - 1)
                           .astype(jnp.int32) + 1,
                 "score": jnp.zeros((B,), jnp.float32),
                 "found": lengths < max_steps,
-                "alphas": alphas}
+                "alphas": jnp.concatenate([ones, alphas], axis=1)}
 
     if decode == "sample":
         def caption(images, rng):

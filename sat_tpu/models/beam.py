@@ -245,6 +245,12 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     across seeds/configs). False keeps the direct-history formulation for
     A/B benchmarking.
     """
+    if fast_topk and pallas_topk:
+        raise ValueError(
+            "fast_topk and pallas_topk are mutually exclusive: fast_topk "
+            "is the APPROXIMATE approx_max_k mode, pallas_topk the exact "
+            "selection kernel — silently preferring one would "
+            "misrepresent the decode contract (review r4)")
     B = features.shape[0]
     # Mesh-aware chunking (VERDICT r2 weak #6 + review r3): the B>128
     # fusion cliff is about PER-DEVICE rows — with the batch dim sharded
@@ -292,6 +298,12 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                                       (B, K, L, D)).reshape(B * K, L, D)
         keys_flat = precompute_attention_keys(params["attention"], feats_flat)
         h0, c0 = init_lstm_state(params, feats_flat)     # (B*K, E)
+        if bf16:
+            # same opt-in storage cast as the dedup branch (review r4: the
+            # flat layout silently decoded f32 under bf16=True, so a
+            # dedup-vs-flat A/B at bf16 compared different dtypes)
+            feats_flat = feats_flat.astype(jnp.bfloat16)
+            keys_flat = keys_flat.astype(jnp.bfloat16)
 
         def step_fn(h, c, emb):
             h2, c2, logits, alpha, _ = decode_step(

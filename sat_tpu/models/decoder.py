@@ -206,8 +206,6 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
         keys = keys.astype(jnp.bfloat16)
         features = features.astype(jnp.bfloat16)
 
-    step_rngs = (jax.random.split(rng, T) if (train and rng is not None)
-                 else jnp.zeros((T, 2), jnp.uint32))
     use_dropout = train and rng is not None
 
     if cfg.use_tf:
@@ -274,6 +272,10 @@ def decoder_forward(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
             # prevent_cse=False: inside lax.scan the CSE workaround is
             # unnecessary (per jax.checkpoint docs) and would block XLA opts.
             step = jax.checkpoint(step, prevent_cse=False)
+        # per-step dropout keys are an autoregressive-path concern only;
+        # the tf branch draws its single mask from the raw rng above
+        step_rngs = (jax.random.split(rng, T) if use_dropout
+                     else jnp.zeros((T, 2), jnp.uint32))
         (_, _, _), (preds, alphas) = jax.lax.scan(step, (h, c, prev_emb), step_rngs)
 
     return jnp.swapaxes(preds, 0, 1), jnp.swapaxes(alphas, 0, 1)

@@ -68,3 +68,56 @@ def test_export_greedy_roundtrip(tmp_path):
                                   np.asarray(served["length"]))
     np.testing.assert_array_equal(np.asarray(live["found"]),
                                   np.asarray(served["found"]))
+
+
+def test_greedy_alpha_layout_matches_beam():
+    """pack_scan must prepend the all-ones start alpha row like the beam
+    layout (review r4: greedy/sample alphas used to be one row short and
+    shifted — attention maps rendered one token late, and the final
+    token's map was lost)."""
+    dcfg = DecoderConfig(vocab_size=30, encoder_dim=512, use_attention=True)
+    enc = init_encoder_params(jax.random.PRNGKey(0), "vgg19")
+    dec = init_decoder_params(jax.random.PRNGKey(1), dcfg)
+    imgs = np.random.default_rng(0).normal(size=(2, 32, 32, 3)) \
+        .astype(np.float32)
+    beam_out = build_caption_fn("vgg19", dcfg, enc, dec, 2)(imgs)
+    greedy_out = build_caption_fn("vgg19", dcfg, enc, dec, 1,
+                                  decode="greedy")(imgs)
+    assert greedy_out["alphas"].shape[1] == greedy_out["tokens"].shape[1]
+    assert beam_out["alphas"].shape[1] == beam_out["tokens"].shape[1]
+    np.testing.assert_array_equal(np.asarray(greedy_out["alphas"][:, 0]),
+                                  np.ones_like(np.asarray(
+                                      greedy_out["alphas"][:, 0])))
+
+
+def test_fast_and_pallas_topk_mutually_exclusive():
+    """Silently preferring one mode would misrepresent the decode contract
+    (fast is approximate, pallas is exact) — must raise at build."""
+    import pytest
+
+    from sat_tpu.models.beam import beam_search_batched
+
+    dcfg = DecoderConfig(vocab_size=30, encoder_dim=16, use_attention=True)
+    dec = init_decoder_params(jax.random.PRNGKey(1), dcfg)
+    feats = np.zeros((2, 4, 16), np.float32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        beam_search_batched(dec, dcfg, feats, 2, fast_topk=True,
+                            pallas_topk=True)
+
+
+def test_flat_layout_bf16_matches_dedup_bf16():
+    """dedup=False must honor bf16 like the dedup branch (review r4: the
+    flat layout silently decoded f32 under bf16=True, so dedup-vs-flat
+    A/Bs at bf16 compared different dtypes). Same cast point -> identical
+    tokens between the two layouts."""
+    from sat_tpu.models.beam import beam_search_batched
+
+    dcfg = DecoderConfig(vocab_size=40, encoder_dim=32, use_attention=True)
+    dec = init_decoder_params(jax.random.PRNGKey(3), dcfg)
+    feats = np.random.default_rng(5).normal(size=(3, 9, 32)) \
+        .astype(np.float32)
+    a = beam_search_batched(dec, dcfg, feats, 3, max_steps=8, bf16=True)
+    b = beam_search_batched(dec, dcfg, feats, 3, max_steps=8, bf16=True,
+                            dedup=False)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
