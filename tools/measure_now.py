@@ -73,6 +73,18 @@ def main() -> int:
         print("probe failed: tpu backend unresponsive", file=sys.stderr)
         return 2
 
+    # Advertise the live measurement via a PID file so the window watcher
+    # (/tmp/window_watcher.sh, CLAUDE.md round-4 note) can SIGSTOP
+    # CPU-heavy host jobs for the duration without pattern-matching
+    # process names. Written only after a successful probe: a failed 90 s
+    # probe should not pause anything.
+    pid_path = os.environ.get("SAT_MEASURE_PIDFILE", "/tmp/measure_now.pid")
+    try:
+        with open(pid_path, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pid_path = None
+
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -116,6 +128,11 @@ def main() -> int:
                 break
         finally:
             signal.alarm(0)
+    if pid_path:
+        try:
+            os.remove(pid_path)
+        except OSError:
+            pass
     return 0 if recorded else 1
 
 
