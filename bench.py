@@ -218,7 +218,8 @@ def measure_topk_ab() -> dict:
     assert_topk_exact_on_device()
     cfg, dec_params = _worst_case_decoder(ENC_DIM, jax.random.PRNGKey(0))
     return measure_beam_ab(dec_params, cfg,
-                           {"lax": {}, "pallas": {"pallas_topk": True}},
+                           {"lax": {"pallas_topk": False},
+                            "pallas": {"pallas_topk": True}},
                            batch=64, beam=BEAM, rounds=2)
 
 

@@ -20,7 +20,7 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                      bf16: bool = False, decode: str = "beam",
                      mesh_data: int = 1, temperature: float = 1.0,
                      top_k: int = 0, top_p: float = 1.0,
-                     pallas_topk: bool = False):
+                     pallas_topk: bool | None = None):
     """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes

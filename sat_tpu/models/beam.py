@@ -192,7 +192,7 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
                         chunk: int | None = 128,
                         mesh_data: int = 1,
                         backtrack: bool = True,
-                        pallas_topk: bool = False) -> BeamResult:
+                        pallas_topk: bool | None = None) -> BeamResult:
     """Natively batched beam search: features (B, L, D) -> BeamResult with
     leading batch dim B.
 
@@ -218,15 +218,20 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     near-ties fall outside the recall bound, so token-exact parity holds
     only for the default.
 
-    `pallas_topk=True` swaps in the EXACT Pallas selection kernel
+    `pallas_topk` selects the EXACT Pallas selection kernel
     (sat_tpu.ops.topk.exact_topk): identical values/indices to lax.top_k
     including tie order, but one HBM pass + k VMEM rounds instead of the
-    sort-flavored XLA lowering. Token-exact, so it is a pure perf knob;
-    kept opt-in until measured faster on device (tools/bench_topk.py).
-    Verified token-identical under the CPU serving meshes (8x1 data, 4x2
-    vocab-sharded; tests/test_parallel.py) — but on real multi-chip
-    hardware GSPMD may replicate rather than partition the custom call,
-    so re-A/B before combining it with a multi-chip serving mesh.
+    sort-flavored XLA lowering. Token-exact, so it is a pure perf knob.
+    Default None = AUTO: on unless `fast_topk` is requested — flipped on
+    after the on-device A/B landed 1.085x over lax.top_k (6.23 vs 6.77 ms
+    worst-case 51-step beam, B=64 K=5, v5e, slope method, 2026-08-19
+    harvest; docs/bench_partials.json `beam_pallas_topk_speedup`).
+    Pass False explicitly for the lax.top_k formulation (A/B baseline,
+    tools/bench_topk.py). Verified token-identical under the CPU serving
+    meshes (8x1 data, 4x2 vocab-sharded; tests/test_parallel.py) — but on
+    real multi-chip hardware GSPMD may replicate rather than partition
+    the custom call, so re-A/B before combining it with a multi-chip
+    serving mesh.
 
     `chunk` caps the images processed per while_loop: per-image decode cost
     is flat to B=128 and DOUBLES at B=256 on v5e (XLA stops fusing the
@@ -245,7 +250,11 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     across seeds/configs). False keeps the direct-history formulation for
     A/B benchmarking.
     """
-    if fast_topk and pallas_topk:
+    if pallas_topk is None:
+        # Auto: the exact kernel is the measured-faster default; an
+        # explicit fast_topk request takes the approx path instead.
+        pallas_topk = not fast_topk
+    elif fast_topk and pallas_topk:
         raise ValueError(
             "fast_topk and pallas_topk are mutually exclusive: fast_topk "
             "is the APPROXIMATE approx_max_k mode, pallas_topk the exact "

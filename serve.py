@@ -368,7 +368,7 @@ def build_server(args) -> CaptionServer:
     fn = jax.jit(build_caption_fn(
         cfg.network, dcfg, enc_params, dec_params,
         args.beam_size, fast_topk=args.fast_topk,
-        pallas_topk=getattr(args, "pallas_topk", False),
+        pallas_topk=getattr(args, "pallas_topk", None),
         bf16=args.bf16_decode, decode=decode_mode,
         mesh_data=bucket_quantum,
         temperature=getattr(args, "temperature", 1.0),
@@ -440,10 +440,13 @@ def main():
                              "default mixes in pid+boot time for fresh "
                              "samples per process")
     parser.add_argument("--fast-topk", action="store_true", default=False)
-    parser.add_argument("--pallas-topk", action="store_true", default=False,
+    parser.add_argument("--pallas-topk", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="exact Pallas top-k selection kernel in the "
-                             "beam (token-identical to the default; "
-                             "A/B with tools/bench_topk.py)")
+                             "beam (token-identical to lax.top_k; measured "
+                             "1.085x on v5e). Default: ON unless "
+                             "--fast-topk; --no-pallas-topk forces the "
+                             "lax formulation (A/B: tools/bench_topk.py)")
     parser.add_argument("--bf16-decode", action="store_true", default=False)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8765)

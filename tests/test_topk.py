@@ -100,8 +100,9 @@ def test_beam_shapes():
 
 
 def test_beam_with_pallas_topk_is_token_identical():
-    """The full batched beam with pallas_topk=True must produce exactly the
-    default path's tokens/scores (the kernel is exact incl. tie order)."""
+    """The full batched beam with pallas_topk=True (the default since the
+    1.085x A/B landed) must produce exactly the lax.top_k formulation's
+    tokens/scores (the kernel is exact incl. tie order)."""
     import torch
     from tests._reference import import_reference
     from sat_tpu.compat import decoder_params_from_state_dict
@@ -117,10 +118,48 @@ def test_beam_with_pallas_topk_is_token_identical():
     params = decoder_params_from_state_dict(
         ref.state_dict(), init_decoder_params(jax.random.PRNGKey(0), cfg))
     feats = np.random.default_rng(8).normal(size=(6, L, D)).astype(np.float32)
-    a = beam_search_batched(params, cfg, feats, 5)
+    a = beam_search_batched(params, cfg, feats, 5, pallas_topk=False)
     b = beam_search_batched(params, cfg, feats, 5, pallas_topk=True)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
     np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
     np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                atol=1e-5)
+
+
+def test_pallas_topk_auto_default(monkeypatch):
+    """pallas_topk=None (the default) auto-resolves: the exact kernel runs
+    unless fast_topk is requested, and an explicit True beside fast_topk
+    still raises (flip decision: 1.085x on-device A/B, 2026-08-19)."""
+    import pytest
+
+    import sat_tpu.ops.topk as topk_mod
+    from sat_tpu.models import DecoderConfig, init_decoder_params
+    from sat_tpu.models.beam import beam_search_batched
+
+    cfg = DecoderConfig(vocab_size=23, encoder_dim=16, use_attention=True)
+    params = init_decoder_params(jax.random.PRNGKey(1), cfg)
+    feats = np.random.default_rng(5).normal(size=(3, 9, 16)).astype(np.float32)
+
+    calls = []
+    real = topk_mod.exact_topk
+
+    def spy(x, k, **kw):
+        calls.append(k)
+        return real(x, k, **kw)
+
+    monkeypatch.setattr(topk_mod, "exact_topk", spy)
+
+    beam_search_batched(params, cfg, feats, 3, max_steps=4)
+    assert calls, "default (auto) beam must route top-k through the kernel"
+
+    calls.clear()
+    beam_search_batched(params, cfg, feats, 3, max_steps=4, pallas_topk=False)
+    assert not calls, "explicit False must keep the lax formulation"
+
+    beam_search_batched(params, cfg, feats, 3, max_steps=4, fast_topk=True)
+    assert not calls, "fast_topk under auto must take approx_max_k, not raise"
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        beam_search_batched(params, cfg, feats, 3, max_steps=4,
+                            fast_topk=True, pallas_topk=True)

@@ -50,7 +50,7 @@ def main():
 
     samples = measure_beam_ab(
         dec_params, cfg,
-        {"lax": {}, "pallas": {"pallas_topk": True},
+        {"lax": {"pallas_topk": False}, "pallas": {"pallas_topk": True},
          "approx": {"fast_topk": True}},
         batch=B, beam=K, rounds=args.rounds, progress=progress)
     med = {n: float(np.median(v)) for n, v in samples.items()}
