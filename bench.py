@@ -187,6 +187,15 @@ def measure_remat_ab() -> dict:
                                    rounds=2)
 
 
+def measure_accounting() -> dict:
+    """Train-step block accounting at flagship shapes (the bench-level
+    seam: leg_accounting and the test stubs go through THIS name, the
+    shared measurer lives in sat_tpu.utils.benchmarks)."""
+    from sat_tpu.utils.benchmarks import measure_train_accounting
+
+    return measure_train_accounting(batch=64)
+
+
 def assert_topk_exact_on_device() -> None:
     """Exactness gate for the Pallas top-k BEFORE any on-device A/B: the
     CPU tests run the kernel in interpret mode, which cannot see Mosaic's
@@ -722,12 +731,19 @@ def leg_train(bf16: bool) -> dict:
     the two slope samples come back RT-dominated and near-equal, making the
     differenced device time absurdly small (observed once: 706k rows/s,
     "191% MFU") — discard. Low side (VERDICT r2 weak #1): a glitched slope
-    can also land far BELOW the documented device-time band
-    (ARCHITECTURE.md: ~10k rows/s f32, ~13-16k bf16-att); retry once, and
+    can also land far BELOW the documented device-time band; retry once, and
     if still low record it WITH a phase annotation. Each precision gets
-    its OWN leg: an f32 failure must not skip the bf16 leg (review r3)."""
-    key, doc_rows = (("train_rows_per_sec_bf16", 13_000) if bf16
-                     else ("train_rows_per_sec", 10_000))
+    its OWN leg: an f32 failure must not skip the bf16 leg (review r3).
+
+    Bands updated for the remat_scan=True default (2026-08-19 flip): the
+    measured same-process A/B put f32+remat at 2.97ms (~21.5k rows/s at
+    B=64; the pre-flip band was ~10k) and bf16-att+remat at 5.95ms
+    (~10.8k). NOTE the inversion: with recompute replacing saved
+    activations, bf16-attention no longer buys traffic and its casts cost
+    time — f32 (the exact-parity path) is now also the FASTEST train
+    config."""
+    key, doc_rows = (("train_rows_per_sec_bf16", 11_000) if bf16
+                     else ("train_rows_per_sec", 18_000))
     fields = {}
     best = None
     for attempt in range(2):
@@ -847,10 +863,59 @@ def leg_remat() -> dict:
         print(f"implausible remat speedups discarded "
               f"(f32={sp_f32:.2f}, bf16={sp_bf16:.2f})", file=sys.stderr)
         return {}
+    # The four interleaved arms also yield the bf16-attention ratios
+    # same-process (VERDICT r4 weak #2: the README's 1.62x claim was a
+    # cross-window comparison). *_noremat is the flag's original value
+    # proposition (halved saved-activation traffic); *_remat is what it
+    # does on today's remat default, where nothing is saved — measured
+    # INVERTED (bf16 casts cost time, buy nothing).
     return {"train_remat_speedup_f32": round(sp_f32, 3),
             "train_remat_speedup_bf16": round(sp_bf16, 3),
             "train_remat_f32_ms": round(med["f32_remat"], 2),
-            "train_remat_bf16_ms": round(med["bf16_remat"], 2)}
+            "train_remat_bf16_ms": round(med["bf16_remat"], 2),
+            "train_bf16att_speedup_noremat": round(med["f32"] / med["bf16"],
+                                                   3),
+            "train_bf16att_speedup_remat": round(med["f32_remat"]
+                                                 / med["bf16_remat"], 3)}
+
+
+def leg_accounting() -> dict:
+    """Per-block time accounting of the flagship (remat-default) train step
+    (VERDICT r4 weak #3 / next #2): measured blocks that SUM to the step,
+    so the whole-step HBM-utilization field can be reconciled against the
+    per-block rooflines instead of contradicting them. Shares its measurer
+    with tools/bench_train_accounting.py. Gates: every median positive,
+    the whole step in a sane absolute band, and the parts within 40% of
+    the whole (a phase flip mid-interleave corrupts the shares — discard,
+    don't record a table that doesn't sum)."""
+    out = measure_accounting()
+    med = {n: float(np.median(v["ms"])) for n, v in out.items()}
+    if any(v <= 0 for v in med.values()) or not 0.5 <= med["step"] <= 60:
+        print(f"implausible accounting medians discarded ({med})",
+              file=sys.stderr)
+        return {}
+    parts = med["grad"] + med["adam"]
+    if not 0.6 <= parts / med["step"] <= 1.4:
+        print(f"accounting parts do not sum (grad+adam={parts:.2f}ms vs "
+              f"step={med['step']:.2f}ms) — phase flip mid-interleave; "
+              f"discarded", file=sys.stderr)
+        return {}
+    fields = {f"train_acct_{n}_ms": round(v, 3) for n, v in med.items()}
+    fields["train_acct_scan_fwd_ms"] = round(med["fwd"] - med["head"], 3)
+    fields["train_acct_head_bwd_ms"] = round(
+        med["head_grad"] - med["head"], 3)
+    fields["train_acct_scan_bwd_ms"] = round(
+        med["grad"] - med["fwd"] - (med["head_grad"] - med["head"]), 3)
+    fields["train_acct_residual_ms"] = round(
+        med["step"] - med["grad"] - med["adam"], 3)
+    # per-block roofline ms from the standalone programs' cost analysis,
+    # so the ARCHITECTURE.md table can be regenerated from the artifact
+    for n, v in out.items():
+        if v["bytes"]:
+            roof_s = max((v["flops"] or 0.0) / V5E_PEAK_FLOPS,
+                         v["bytes"] / V5E_HBM_BYTES_PER_SEC)
+            fields[f"train_acct_{n}_roofline_ms"] = round(roof_s * 1e3, 3)
+    return fields
 
 
 def leg_topk() -> dict:
@@ -924,6 +989,7 @@ LEGS = [
     ("latency", leg_latency, 150),
     ("encoder", leg_encoder, 150),
     ("remat", leg_remat, 420),   # 8 grad-scan compiles dominate the budget
+    ("accounting", leg_accounting, 420),  # 12 compiles, 2 of them grad scans
     ("topk", leg_topk, 300),
     ("resnet", leg_resnet, 300),
     ("densenet", leg_densenet, 300),
@@ -949,6 +1015,7 @@ LEG_PRIMARY_FIELD = {
     "latency": "single_image_latency_ms",
     "encoder": "encoder_vgg19_tflops",
     "remat": "train_remat_speedup_f32",
+    "accounting": "train_acct_step_ms",
     "topk": "beam_pallas_topk_speedup",
     "resnet": "captions_per_sec_beam5_resnet152_e2e",
     "densenet": "captions_per_sec_beam5_densenet161_e2e",
@@ -1067,9 +1134,44 @@ def _compose_from_harvest() -> dict | None:
     line["harvest_measured_at"] = {
         k: m.get("measured_at") for k, m in d.get("meta", {}).items()
         if k in line}
+    line.update(_phase_coherence(line["harvest_measured_at"]))
     line.update(leg_baseline(line["value"]))
     line["baseline_source"] += " (baseline fresh; TPU legs harvested)"
     return line
+
+
+def _phase_coherence(measured_at: dict) -> dict:
+    """Self-describing phase mixing for a composed line (VERDICT r4 weak
+    #6): the chip's speed swings >10x between tunnel phases, so fields
+    harvested hours apart are NOT one coherent snapshot. Stamps
+    `harvest_phase_spread_hours` (max-min over every field's timestamp)
+    and `harvest_stale_fields` — fields measured more than 1h away from
+    the HEADLINE's window (either direction: the r4 line mixed a 03:37Z
+    headline with 11:04-13:36Z legs). Unparseable/missing timestamps are
+    skipped rather than fatal — a stamp must never cost the line itself."""
+    from datetime import datetime
+
+    def _parse(ts):
+        try:
+            return datetime.fromisoformat(ts)
+        except (TypeError, ValueError):
+            return None
+
+    times = {k: t for k, ts in measured_at.items()
+             if (t := _parse(ts)) is not None}
+    if not times:
+        return {}
+    span = max(times.values()) - min(times.values())
+    out = {"harvest_phase_spread_hours":
+           round(span.total_seconds() / 3600, 2)}
+    head = times.get("value")
+    if head is not None:
+        stale = sorted(
+            k for k, t in times.items()
+            if k != "value" and abs((t - head).total_seconds()) > 3600)
+        if stale:
+            out["harvest_stale_fields"] = stale
+    return out
 
 
 def _make_saver(out_path: str):

@@ -48,6 +48,7 @@ from sat_tpu.parallel import (
     make_eval_step,
     make_mesh,
     make_train_step,
+    validate_host_divisibility,
     param_sharding,
     replicated,
 )
@@ -172,6 +173,9 @@ class Trainer:
 
         # ---- mesh & placement ----
         self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+        # Fail at startup, not at the first _put/_pad_batch, when the host
+        # count cannot stripe the data axis evenly (VERDICT r4 next #8).
+        validate_host_divisibility(self.mesh.shape["data"])
         dec_shard = param_sharding(self.mesh, dec_params,
                                    shard_vocab=cfg.mesh_model > 1)
         dec_params = jax.tree_util.tree_map(

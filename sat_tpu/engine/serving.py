@@ -97,8 +97,19 @@ def export_caption_artifact(path: str, network: str, dcfg, enc_params,
                             platforms: tuple[str, ...] | None = None,
                             fast_topk: bool = False,
                             bf16: bool = False,
-                            decode: str = "beam") -> None:
-    """Serialize the caption program for `batch_size` images to `path`."""
+                            decode: str = "beam",
+                            pallas_topk: bool = False) -> None:
+    """Serialize the caption program for `batch_size` images to `path`.
+
+    `pallas_topk` defaults to FALSE here (unlike the live serving path's
+    auto-on): exact_topk picks interpret-vs-kernel from
+    `jax.default_backend()` at TRACE time, not from the artifact's target
+    `platforms` — exporting from a CPU host would bake the slow interpret
+    lowering into a TPU artifact, and a TPU-host export for a platforms
+    list including cpu would embed a tpu_custom_call the artifact cannot
+    run portably (ADVICE r4). The lax.top_k path lowers portably on every
+    platform and is token-identical; opt in to the kernel only for a
+    single-platform TPU export made from a TPU host."""
     from jax import export as jexport
 
     if decode == "sample":
@@ -108,7 +119,8 @@ def export_caption_artifact(path: str, network: str, dcfg, enc_params,
             "export, or serve sampling live via serve.py --decode sample")
 
     fn = build_caption_fn(network, dcfg, enc_params, dec_params, beam_size,
-                          fast_topk=fast_topk, bf16=bf16, decode=decode)
+                          fast_topk=fast_topk, bf16=bf16, decode=decode,
+                          pallas_topk=pallas_topk)
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3),
                                 jnp.float32)
     exported = jexport.export(jax.jit(fn),

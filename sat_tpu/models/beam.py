@@ -253,7 +253,11 @@ def beam_search_batched(params: dict, cfg: DecoderConfig, features: jnp.ndarray,
     if pallas_topk is None:
         # Auto: the exact kernel is the measured-faster default; an
         # explicit fast_topk request takes the approx path instead.
-        pallas_topk = not fast_topk
+        # Restricted to single-chip serving (mesh_data <= 1): the 1.085x
+        # evidence is single-chip v5e, and GSPMD may replicate rather than
+        # partition the custom call over a multi-chip mesh (ADVICE r4) —
+        # pass pallas_topk=True explicitly after a multi-chip A/B lands.
+        pallas_topk = not fast_topk and mesh_data <= 1
     elif fast_topk and pallas_topk:
         raise ValueError(
             "fast_topk and pallas_topk are mutually exclusive: fast_topk "

@@ -67,7 +67,12 @@ class DecoderConfig:
     # backward. Recompute is the same ops on the same inputs, so forward
     # outputs and gradients are unchanged; only the memory/traffic schedule
     # differs. Targets the measured bandwidth bound of the train grad.
-    remat_scan: bool = False
+    # DEFAULT ON since the 2026-08-19 harvest: same-process interleaved A/B
+    # (bench.py leg_remat / tools/bench_remat.py) measured 2.445x on the f32
+    # train grad+update and 1.068x on bf16-attention at B=64 — both past the
+    # >1.05x flip rule. `--no-remat-scan` restores the saved-residual
+    # baseline for A/B.
+    remat_scan: bool = True
 
     @property
     def embedding_size(self) -> int:

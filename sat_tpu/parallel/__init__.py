@@ -1,6 +1,7 @@
 from sat_tpu.parallel.mesh import (make_mesh, batch_sharding,
                                    block_batch_sharding,
-                                   param_sharding, replicated)
+                                   param_sharding, replicated,
+                                   validate_host_divisibility)
 from sat_tpu.parallel.train_step import (
     TrainState,
     make_train_step,
@@ -18,6 +19,7 @@ __all__ = [
     "block_batch_sharding",
     "param_sharding",
     "replicated",
+    "validate_host_divisibility",
     "TrainState",
     "make_train_step",
     "make_eval_step",

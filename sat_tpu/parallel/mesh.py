@@ -54,6 +54,31 @@ def make_mesh(n_data: int = 0, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def validate_host_divisibility(n_data: int,
+                               process_count: int | None = None) -> None:
+    """Reject host counts the stripe/pad math cannot serve, at STARTUP
+    with the counts spelled out (VERDICT r4 next #8; the alternative —
+    uneven stripes — would silently change which global batches form).
+
+    The contract when running H>1 processes: the data mesh axis must split
+    evenly over hosts. Trainer.pad_multiple is n_data // H, and
+    make_array_from_process_local_data assembles the global batch from
+    equal per-host stripes — 8 devices over 3 hosts has no such stripe.
+    (Local batch SIZE is unconstrained: _pad_batch pads any remainder up
+    to the per-host multiple.)
+    """
+    H = process_count if process_count is not None else jax.process_count()
+    if H <= 1:
+        return
+    if n_data % H:
+        raise ValueError(
+            f"data-parallel axis ({n_data} devices) is not divisible by "
+            f"the number of hosts ({H}); every host must own an equal "
+            f"slice of the batch axis — adjust --mesh-data or the host "
+            f"count (e.g. data={n_data - n_data % H} or H dividing "
+            f"{n_data})")
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -308,12 +308,15 @@ def measure_decoder_grad_ab(variants, batch: int = 64, rounds: int = 2,
 
 def remat_variant_cfgs(base):
     """The four --remat-scan A/B arms from a base DecoderConfig: f32 and
-    bf16-attention, each with and without scan-body rematerialization."""
+    bf16-attention, each with and without scan-body rematerialization.
+    Both states are pinned explicitly so the arms stay distinct regardless
+    of the DecoderConfig.remat_scan default (flipped to True 2026-08-19)."""
     import dataclasses
     return {
-        "f32": base,
+        "f32": dataclasses.replace(base, remat_scan=False),
         "f32_remat": dataclasses.replace(base, remat_scan=True),
-        "bf16": dataclasses.replace(base, bf16_attention=True),
+        "bf16": dataclasses.replace(base, bf16_attention=True,
+                                    remat_scan=False),
         "bf16_remat": dataclasses.replace(base, bf16_attention=True,
                                           remat_scan=True),
     }
@@ -392,3 +395,163 @@ def blocked_train_runner(block, feats, caps, lr, base_rng, k, batch,
         return state
 
     return run
+
+
+def compiled_cost(fn, *args):
+    """(flops, hbm_bytes) of the exact compiled program per XLA cost
+    analysis, either None when the backend doesn't report it. Same
+    list-vs-dict quirk handling as compiled_flops."""
+    import jax
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)) or None,
+                float(ca.get("bytes accessed", 0.0)) or None)
+    except Exception:
+        return None, None
+
+
+def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
+                             reps: int = 3, remat: bool = True,
+                             progress=None, shapes=None):
+    """Per-block device-time accounting of the flagship train step
+    (VERDICT r4 weak #3: reconcile train_hbm_util_pct with the "at
+    roofline" story — extend the decode-step accounting table to the full
+    train step).
+
+    Measured blocks (each slope-timed in the SAME process, so the shares
+    are phase-robust even when the absolute ms are not):
+      step      full grad + Adam update (the production program)
+      grad      value_and_grad only (no optimizer)
+      fwd       loss forward only (scan + head + CE/att-reg)
+      head      dropout + ado output head + CE from fixed (hs, ctxs, embs)
+                — the post-scan forward tail at its real (B*(T-1), E)x(E,V)
+                shapes
+      head_grad `head` plus its backward (d/dW AND d/dactivations)
+      adam      optimizer update alone on a params-shaped grads tree
+
+    Derived (printed by tools/bench_train_accounting.py, recorded by
+    bench.py's accounting leg):
+      scan_fwd   = fwd - head          (embedding + per-step attention/LSTM)
+      head_bwd   = head_grad - head    (the head's backward-only cost)
+      scan_bwd   = grad - fwd - head_bwd  (scan backward incl. remat
+                                           recompute under the default)
+      residual   = step - grad - adam  (scheduling gaps; ~0 when additive)
+
+    Each block also gets XLA cost-analysis (flops, bytes) of a standalone
+    jit so the table can state per-block rooflines: roofline_ms =
+    max(flops/PEAK, bytes/HBM_BW). Returns {block: {"ms": [...samples],
+    "flops": f, "bytes": b}}.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sat_tpu.models.decoder import (DecoderConfig, _advanced_deep_output,
+                                        _dropout, init_decoder_params)
+    from sat_tpu.parallel.train_step import _loss_and_metrics, make_optimizer
+    from sat_tpu.utils.metrics import reference_packed_cross_entropy
+    from sat_tpu.utils.timing import device_time
+
+    # flagship shapes; `shapes` overrides (L, E, T, V) for CPU smoke tests
+    B, (L, E, T, V) = batch, (shapes or (196, 512, 27, 2633))
+    cfg = DecoderConfig(vocab_size=V, encoder_dim=E, use_tf=True,
+                        use_ado=True, use_attention=True, remat_scan=remat)
+    rng = np.random.default_rng(0)
+    params = init_on_host(init_decoder_params, jax.random.PRNGKey(0), cfg)
+    feats = jnp.asarray(rng.normal(size=(B, L, E)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(4, V, size=(B, T)).astype(np.int32))
+    drop = jax.random.PRNGKey(1)
+    tx = make_optimizer()
+
+    def loss_fn(p, f, i):
+        l, _ = _loss_and_metrics(cfg, 1.0, p, f, caps,
+                                 jax.random.fold_in(drop, i), True)
+        return l
+
+    # Post-scan head inputs at their real shapes: the tf branch embeds
+    # caps[:, :-1] (T-1 steps) and feeds (hs, ctxs, embs) to dropout+ado.
+    # hs/embs carry embedding_size (fixed 512 non-BERT — a property, not
+    # encoder_dim); ctxs carries encoder_dim.
+    Tm = T - 1
+    hs = jnp.asarray(rng.normal(
+        size=(B, Tm, cfg.embedding_size)).astype(np.float32))
+    ctxs = jnp.asarray(rng.normal(
+        size=(B, Tm, cfg.encoder_dim)).astype(np.float32))
+    embs = jnp.asarray(rng.normal(
+        size=(B, Tm, cfg.embedding_size)).astype(np.float32))
+
+    def head_fn(hp, h_in, i):
+        h_do = _dropout(h_in, cfg.dropout_rate, jax.random.fold_in(drop, i))
+        preds = _advanced_deep_output(hp, h_do, ctxs, embs)
+        return reference_packed_cross_entropy(preds, caps[:, 1:])
+
+    grads_const = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 1e-6), params)
+
+    # --- bodies (each threads its carry so scan reps can't be hoisted) ---
+    def body_step(carry, i):
+        p, s = carry
+        _, g = jax.value_and_grad(
+            lambda q: _loss_and_metrics(cfg, 1.0, q, feats, caps,
+                                        jax.random.fold_in(drop, i), True),
+            has_aux=True)(p)
+        u, s = tx.update(g, s, p)
+        u = jax.tree_util.tree_map(lambda x: -1e-4 * x, u)
+        return (optax.apply_updates(p, u), s)
+
+    def body_grad(p, i):
+        g = jax.grad(loss_fn)(p, feats, i)
+        return jax.tree_util.tree_map(lambda a, d: a - 1e-7 * d, p, g)
+
+    def body_fwd(c, i):
+        return loss_fn(params, feats + c * 1e-20, i) * 1e-20
+
+    def body_head(c, i):
+        return head_fn(params, hs + c * 1e-20, i) * 1e-20
+
+    def body_head_grad(hp, i):
+        l, g = jax.value_and_grad(head_fn)(hp, hs, i)
+        return jax.tree_util.tree_map(lambda a, d: a - 1e-7 * d, hp, g)
+
+    def body_adam(carry, i):
+        p, s = carry
+        u, s = tx.update(grads_const, s, p)
+        u = jax.tree_util.tree_map(lambda x: -1e-30 * x, u)
+        return (optax.apply_updates(p, u), s)
+
+    blocks = {
+        "step": (body_step, (params, tx.init(params))),
+        "grad": (body_grad, params),
+        "fwd": (body_fwd, jnp.float32(0.0)),
+        "head": (body_head, jnp.float32(0.0)),
+        "head_grad": (body_head_grad, params),
+        "adam": (body_adam, (params, tx.init(params))),
+    }
+    costs = {
+        "step": lambda: compiled_cost(
+            lambda p: body_step((p, tx.init(params)), 0), params),
+        "grad": lambda: compiled_cost(lambda p: body_grad(p, 0), params),
+        "fwd": lambda: compiled_cost(lambda f: loss_fn(params, f, 0), feats),
+        "head": lambda: compiled_cost(lambda h: head_fn(params, h, 0), hs),
+        "head_grad": lambda: compiled_cost(
+            lambda p: body_head_grad(p, 0), params),
+        "adam": lambda: compiled_cost(
+            lambda p: body_adam((p, tx.init(params)), 0), params),
+    }
+
+    out = {}
+    for name, (body, carry0) in blocks.items():
+        flops, nbytes = costs[name]()
+        out[name] = {"ms": [], "flops": flops, "bytes": nbytes}
+    # interleave rounds across blocks (the same phase-robustness contract
+    # as measure_decoder_grad_ab: a phase change corrupts one round, and
+    # the SHARES between blocks stay honest)
+    for r in range(reps):
+        for name, (body, carry0) in blocks.items():
+            dt = device_time(body, carry0, n_lo=n_lo, n_hi=n_hi, reps=3)
+            out[name]["ms"].append(dt * 1e3)
+            if progress:
+                progress(r, name, dt)
+    return out

@@ -53,6 +53,8 @@ def bench_stubs(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "measure_topk_ab",
                         lambda: {"lax": [6.3, 6.4], "pallas": [5.6, 5.7]})
     monkeypatch.setattr(bench, "measure_resnet_e2e", lambda: 2100.0)
+    monkeypatch.setattr(bench, "measure_accounting",
+                        lambda: _acct(3.0, 2.6, 1.0, 0.3, 0.9, 0.35))
     monkeypatch.setattr(
         bench, "measure_resnet_parts",
         lambda: pytest.fail("parts fallback must not run when the "
@@ -447,6 +449,54 @@ def test_unresponsive_backend_falls_back_to_harvest(bench_stubs, capsys,
     assert "harvested" in line["error"]
     # field -> ISO timestamp of the original measurement
     assert line["harvest_measured_at"]["value"].startswith("20")
+    # one merge call stamps every field in the same instant -> coherent
+    assert line["harvest_phase_spread_hours"] == 0.0
+    assert "harvest_stale_fields" not in line
+
+
+def test_composed_line_stamps_phase_spread(bench_stubs, capsys, monkeypatch):
+    """VERDICT r4 weak #6: a composed line mixing tunnel phases hours apart
+    must say so in machine-readable form — harvest_phase_spread_hours over
+    all fields, plus the list of fields measured >1h from the headline's
+    window (the r4 line mixed a 03:37Z headline with 11:04-13:36Z legs)."""
+    import os
+    path = os.environ["SAT_BENCH_PARTIALS"]
+    with open(path, "w") as f:
+        json.dump({
+            "fields": {"value": 2800.0,
+                       "single_image_latency_ms": 1.7,
+                       "train_rows_per_sec": 9000.0,
+                       "beam_pallas_topk_speedup": 1.08},
+            "meta": {
+                "value": {"measured_at": "2026-08-19T03:37:37+00:00"},
+                "single_image_latency_ms":
+                    {"measured_at": "2026-08-19T03:46:12+00:00"},
+                "train_rows_per_sec":
+                    {"measured_at": "2026-08-19T10:56:16+00:00"},
+                "beam_pallas_topk_speedup":
+                    {"measured_at": "2026-08-19T11:04:13+00:00"},
+            }}, f)
+    bench_stubs.setattr(bench, "_tpu_responsive", lambda timeout_s=60: False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 03:37:37 -> 11:04:13 is 7.44h
+    assert line["harvest_phase_spread_hours"] == pytest.approx(7.44, abs=0.01)
+    # latency is within the headline hour; the other two are stale
+    assert line["harvest_stale_fields"] == ["beam_pallas_topk_speedup",
+                                            "train_rows_per_sec"]
+
+
+def test_phase_coherence_tolerates_bad_timestamps():
+    """A stamp must never cost the line: unparseable or missing timestamps
+    are skipped, an empty map yields no fields."""
+    assert bench._phase_coherence({}) == {}
+    assert bench._phase_coherence({"value": None, "x": "garbage"}) == {}
+    out = bench._phase_coherence({"value": "2026-08-19T03:00:00+00:00",
+                                  "x": "not-a-date",
+                                  "y": "2026-08-19T05:00:00+00:00"})
+    assert out["harvest_phase_spread_hours"] == 2.0
+    assert out["harvest_stale_fields"] == ["y"]
 
 
 def test_failed_live_headline_filled_from_harvest(bench_stubs, capsys):
@@ -463,3 +513,43 @@ def test_failed_live_headline_filled_from_harvest(bench_stubs, capsys):
     assert line["train_rows_per_sec"] == 11000.0
     assert line["single_image_latency_ms"] == 1.5
     assert "harvested" in line["error"]
+
+
+def _acct(step, grad, fwd, head, head_grad, adam, nbytes=None, flops=None):
+    return {n: {"ms": [v], "flops": flops, "bytes": nbytes}
+            for n, v in (("step", step), ("grad", grad), ("fwd", fwd),
+                         ("head", head), ("head_grad", head_grad),
+                         ("adam", adam))}
+
+
+def test_leg_accounting_records_blocks_and_derived(monkeypatch):
+    """The accounting leg records the measured block medians, the derived
+    decomposition, and per-block roofline ms when cost analysis reported
+    bytes."""
+    monkeypatch.setattr(bench, "measure_accounting",
+                        lambda: _acct(3.0, 2.6, 1.0, 0.3, 0.9, 0.35,
+                                      nbytes=819e9 * 2e-3, flops=1e9))
+    fields = bench.leg_accounting()
+    assert fields["train_acct_step_ms"] == 3.0
+    assert fields["train_acct_scan_fwd_ms"] == pytest.approx(0.7)
+    assert fields["train_acct_head_bwd_ms"] == pytest.approx(0.6)
+    assert fields["train_acct_scan_bwd_ms"] == pytest.approx(1.0)
+    assert fields["train_acct_residual_ms"] == pytest.approx(0.05)
+    # bytes/819GB/s = 2ms > flops/peak -> bandwidth roofline
+    assert fields["train_acct_step_roofline_ms"] == pytest.approx(2.0)
+
+
+def test_leg_accounting_discards_non_summing_parts(monkeypatch):
+    """A phase flip mid-interleave makes grad+adam wildly disagree with the
+    whole step — the table must be discarded, not recorded."""
+    monkeypatch.setattr(bench, "measure_accounting",
+                        lambda: _acct(10.0, 2.0, 1.0, 0.3, 0.9, 0.35))
+    assert bench.leg_accounting() == {}
+    monkeypatch.setattr(bench, "measure_accounting",
+                        lambda: _acct(0.0, 2.0, 1.0, 0.3, 0.9, 0.35))
+    assert bench.leg_accounting() == {}
+
+
+def test_accounting_leg_registered():
+    assert "accounting" in dict((n, f) for n, f, _ in bench.LEGS)
+    assert bench.LEG_PRIMARY_FIELD["accounting"] == "train_acct_step_ms"

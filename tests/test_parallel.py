@@ -494,3 +494,25 @@ def test_npz_checkpoint_strict_and_atomic(tmp_path):
                          np.ones((1,), np.float32)]}
     with _pytest.raises(ValueError, match="dtype"):
         tree_load_npz(path, wrong_dtype)
+
+
+def test_host_divisibility_contract():
+    """VERDICT r4 next #8: a host count that cannot stripe the data axis
+    evenly (e.g. 8 devices over 3 hosts) must be rejected at startup with
+    the counts spelled out, not fail later inside _put/_pad_batch math."""
+    import pytest as _pytest
+
+    from sat_tpu.parallel import validate_host_divisibility
+
+    # single host: anything goes
+    validate_host_divisibility(8, process_count=1)
+    validate_host_divisibility(3, process_count=1)
+    # clean splits
+    validate_host_divisibility(8, process_count=2)
+    validate_host_divisibility(8, process_count=4)
+    validate_host_divisibility(8, process_count=8)
+    # the H=3 trap
+    with _pytest.raises(ValueError, match="8 devices.*3"):
+        validate_host_divisibility(8, process_count=3)
+    with _pytest.raises(ValueError, match="not divisible"):
+        validate_host_divisibility(4, process_count=8)

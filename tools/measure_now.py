@@ -95,44 +95,51 @@ def main() -> int:
         raise bench._LegTimeout()
 
     signal.signal(signal.SIGALRM, _raise)
-    for name, fn, budget_s in bench.LEGS:
-        if name not in wanted:
-            continue
-        signal.alarm(budget_s)
-        try:
-            fields = fn()
-            signal.alarm(0)
-            if name == "headline" and fields.get("value"):
-                fields.update(bench.leg_baseline(fields["value"]))
-            fields.pop("error", None)   # harvest records values, not errors
-            if fields:
-                bench.merge_partials(path, fields, via="measure_now")
-                recorded.update(fields)
-                print(json.dumps({"leg": name, **fields}), flush=True)
-            else:
-                print(f"leg {name}: nothing plausible this phase",
+    try:
+        for name, fn, budget_s in bench.LEGS:
+            if name not in wanted:
+                continue
+            signal.alarm(budget_s)
+            try:
+                fields = fn()
+                signal.alarm(0)
+                if name == "headline" and fields.get("value"):
+                    fields.update(bench.leg_baseline(fields["value"]))
+                fields.pop("error", None)  # harvest records values, not errors
+                if fields:
+                    bench.merge_partials(path, fields, via="measure_now")
+                    recorded.update(fields)
+                    print(json.dumps({"leg": name, **fields}), flush=True)
+                else:
+                    print(f"leg {name}: nothing plausible this phase",
+                          file=sys.stderr)
+            except bench._LegTimeout:
+                print(f"leg {name} hit its {budget_s}s watchdog",
                       file=sys.stderr)
-        except bench._LegTimeout:
-            print(f"leg {name} hit its {budget_s}s watchdog", file=sys.stderr)
-            # a watchdog usually means the tunnel wedged mid-leg; re-probe
-            # before burning more legs into it
-            if not bench._tpu_responsive(timeout_s=30):
-                print("backend wedged; stopping harvest", file=sys.stderr)
-                break
-        except Exception as e:
-            print(f"leg {name} failed ({e})", file=sys.stderr)
-            # an exception (e.g. XlaRuntimeError from a dying tunnel) is as
-            # wedge-suggestive as a watchdog — re-probe before the next leg
-            if not bench._tpu_responsive(timeout_s=30):
-                print("backend wedged; stopping harvest", file=sys.stderr)
-                break
-        finally:
-            signal.alarm(0)
-    if pid_path:
-        try:
-            os.remove(pid_path)
-        except OSError:
-            pass
+                # a watchdog usually means the tunnel wedged mid-leg;
+                # re-probe before burning more legs into it
+                if not bench._tpu_responsive(timeout_s=30):
+                    print("backend wedged; stopping harvest", file=sys.stderr)
+                    break
+            except Exception as e:
+                print(f"leg {name} failed ({e})", file=sys.stderr)
+                # an exception (e.g. XlaRuntimeError from a dying tunnel) is
+                # as wedge-suggestive as a watchdog — re-probe before the
+                # next leg
+                if not bench._tpu_responsive(timeout_s=30):
+                    print("backend wedged; stopping harvest", file=sys.stderr)
+                    break
+            finally:
+                signal.alarm(0)
+    finally:
+        # ADVICE r4: remove the PID file on EVERY exit path (crash or
+        # KeyboardInterrupt included) so the window watcher never pauses
+        # pytest for a stale/reused PID.
+        if pid_path:
+            try:
+                os.remove(pid_path)
+            except OSError:
+                pass
     return 0 if recorded else 1
 
 

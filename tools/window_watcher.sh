@@ -12,6 +12,11 @@
 exec 9>/tmp/sat_window_watcher.lock
 flock -n 9 || exit 0
 paused=0
+tpid=""
+# ADVICE r4: never leave the pytest group permanently stopped — CONT it on
+# watcher exit (any signal/EXIT), and below, always attempt CONT on the
+# recorded pgid when leaving the paused state even if the leader died.
+trap '[ -n "$tpid" ] && { kill -CONT -- "-$tpid" 2>/dev/null; kill -CONT "$tpid" 2>/dev/null; }' EXIT
 while true; do
   active=0
   if [ -f /tmp/measure_now.pid ]; then
@@ -32,10 +37,11 @@ while true; do
       paused=1
     fi
   elif [ "$paused" = 1 ]; then
-    if [ "$alive" = 1 ]; then
-      echo "$(date -u +%FT%TZ) window closed: resuming pytest pgid $tpid" >> /tmp/window_watcher.log
-      kill -CONT -- "-$tpid" 2>/dev/null || kill -CONT "$tpid" 2>/dev/null
-    fi
+    # CONT unconditionally: even if the group leader died while paused,
+    # surviving stopped group members must be resumed (ADVICE r4).
+    echo "$(date -u +%FT%TZ) window closed: resuming pytest pgid $tpid (leader alive=$alive)" >> /tmp/window_watcher.log
+    kill -CONT -- "-$tpid" 2>/dev/null
+    kill -CONT "$tpid" 2>/dev/null
     paused=0
   fi
   sleep 20
