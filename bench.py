@@ -232,6 +232,62 @@ def measure_topk_ab() -> dict:
                            batch=64, beam=BEAM, rounds=2)
 
 
+def measure_serve_device(n_requests: int = 512, concurrency: int = 32,
+                         max_batch: int = 64) -> dict:
+    """The serving DAEMON measured on its device path alone (VERDICT r4
+    next #6): an in-process CaptionServer whose requests are answered from
+    a pre-decoded image pool ({"cached": idx}), so file IO and PIL/native
+    decode — the things that bind the 1-core host — are out of the loop.
+    The caption program is the headline's worst-case recipe (VGG19 +
+    51-step beam via _worst_case_decoder) so req/s here is directly
+    comparable to the chip-ceiling captions/sec: the remaining gap is
+    socket/JSON/batcher overhead, not image loading."""
+    import jax
+    import jax.numpy as jnp
+
+    from sat_tpu.models.beam import beam_search_batched
+    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from load_test import run_load
+    from serve import CaptionServer
+
+    enc_rng, dec_rng = jax.random.split(jax.random.PRNGKey(0))
+    enc_params = _init_on_host(init_encoder_params, enc_rng, "vgg19")
+    cfg, dec_params = _worst_case_decoder(ENC_DIM, dec_rng)
+
+    @jax.jit
+    def caption(imgs):
+        feats = encoder_forward(enc_params, "vgg19", imgs)
+        r = beam_search_batched(dec_params, cfg, feats.astype(jnp.float32),
+                                BEAM)
+        return {"tokens": r.tokens, "length": r.length, "score": r.score,
+                "found": r.found}
+
+    pool = np.random.default_rng(0).normal(
+        size=(max_batch, 224, 224, 3)).astype(np.float32)
+    # bucket_quantum=max_batch pins every dispatch to ONE padded shape, so
+    # the single warm call below covers every bucket the closed-loop
+    # clients can form — a mid-measurement 20-40s TPU compile would
+    # otherwise dwarf the thing being measured.
+    srv = CaptionServer(caption, 224,
+                        lambda t, l, f: [str(x) for x in t[:l + 1]],
+                        max_batch=max_batch, batch_window_ms=5.0,
+                        bucket_quantum=max_batch, image_pool=pool)
+    srv.start()
+    try:
+        # warm the compile outside the measured window (one bucket: the
+        # closed-loop clients saturate max_batch after the first round)
+        _ = {k: np.asarray(v) for k, v in caption(
+            jnp.asarray(pool)).items()}
+        out = run_load("127.0.0.1", srv.port, [], n_requests, concurrency,
+                       cached=True)
+    finally:
+        srv.stop()
+    return out
+
+
 def measure_tpu(fast_mode: bool = False) -> float:
     """Parity mode (default) is token-exact vs the reference. fast_mode=True
     measures the opt-in bf16-encoder/bf16-decode + approx-top-k serving
@@ -500,10 +556,43 @@ def measure_resnet_e2e() -> float:
         # tokens, not score: see measure_tpu (worst-case score is -inf)
         return x + 1e-20 * r.tokens.sum().astype(x.dtype)
 
-    dt = device_time(body, imgs, n_lo=1, n_hi=3, reps=3)
+    # n_hi=2: the MINIMAL slope pair (2 vs 1 in-jit reps) — the r4 attempt
+    # at n_hi=3 was the program that hit the remote-compile HTTP-413 cap;
+    # the second half of CLAUDE.md's advice ("or reduce the in-jit
+    # repetition count") is exactly this (VERDICT r4 next #5).
+    dt = device_time(body, imgs, n_lo=1, n_hi=2, reps=3)
     if dt <= 0:
         raise RuntimeError("implausible resnet e2e slope (dt<=0)")
     return BATCH_RESNET / dt if dt > 0 else float("inf")
+
+
+def measure_densenet_e2e() -> float:
+    """Whole-program DenseNet161 e2e at the minimal slope pair (2-vs-1
+    in-jit reps) — never before attempted whole (the dense-concat HLO is
+    the largest of the three backbones); leg_densenet falls back to the
+    parts recipe on any failure (VERDICT r4 next #5)."""
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.models.beam import beam_search_batched
+    from sat_tpu.models.encoder import encoder_forward, init_encoder_params
+    from sat_tpu.utils.timing import device_time
+
+    enc_rng, dec_rng = jax.random.split(jax.random.PRNGKey(0))
+    enc_params = _init_on_host(init_encoder_params, enc_rng, "densenet161")
+    cfg, dec_params = _worst_case_decoder(2208, dec_rng)
+
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(BATCH_RESNET, 224, 224, 3)).astype(np.float32))
+
+    def body(x, i):
+        feats = encoder_forward(enc_params, "densenet161", x)
+        r = beam_search_batched(dec_params, cfg, feats, BEAM)
+        return x + 1e-20 * r.tokens.sum().astype(x.dtype)
+
+    dt = device_time(body, imgs, n_lo=1, n_hi=2, reps=3)
+    if dt <= 0:
+        raise RuntimeError("implausible densenet e2e slope (dt<=0)")
+    return BATCH_RESNET / dt
 
 
 def measure_resnet_parts() -> dict:
@@ -844,18 +933,34 @@ def leg_encoder() -> dict:
     return {}
 
 
+def _arms_consistent(samples: dict, max_spread: float = 2.5) -> bool:
+    """True when every arm's samples agree within `max_spread` (max/min).
+    A same-process A/B is only phase-robust when the phase holds still
+    ACROSS the interleaved rounds; observed glitchy windows produce arms
+    like [1.95, 5.37, 0.0] ms for the same program (2026-08-19 15:0xZ) —
+    a median over those is noise wearing a gate-passing costume."""
+    for name, vals in samples.items():
+        pos = [v for v in vals if v > 0]
+        if len(pos) < len(vals):   # any glitched-to-zero slope
+            return False
+        if max(pos) / min(pos) > max_spread:
+            return False
+    return True
+
+
 def leg_remat() -> dict:
     """--remat-scan A/B (full train-grad+update device time, B=64, arms
     interleaved in-process via the shared measure_decoder_grad_ab). The
     recorded fields are the INTERNAL speedup ratios — phase-robust because
     both arms share every tunnel phase — plus the winning arms' absolute
     ms for context. Gates: a non-positive median (device_time floors
-    glitched slopes at 0) or a ratio outside [0.25, 4] is a glitch, not a
-    schedule change — discard."""
+    glitched slopes at 0), inconsistent arms (see _arms_consistent), or a
+    ratio outside [0.25, 4] is a glitch, not a schedule change — discard."""
     samples = measure_remat_ab()
     med = {n: float(np.median(v)) for n, v in samples.items()}
-    if any(v <= 0 for v in med.values()):
-        print(f"implausible remat A/B discarded ({med})", file=sys.stderr)
+    if any(v <= 0 for v in med.values()) or not _arms_consistent(samples):
+        print(f"implausible remat A/B discarded ({samples})",
+              file=sys.stderr)
         return {}
     sp_f32 = med["f32"] / med["f32_remat"]
     sp_bf16 = med["bf16"] / med["bf16_remat"]
@@ -890,7 +995,8 @@ def leg_accounting() -> dict:
     don't record a table that doesn't sum)."""
     out = measure_accounting()
     med = {n: float(np.median(v["ms"])) for n, v in out.items()}
-    if any(v <= 0 for v in med.values()) or not 0.5 <= med["step"] <= 60:
+    if any(v <= 0 for v in med.values()) or not 0.5 <= med["step"] <= 60 \
+            or not _arms_consistent({n: v["ms"] for n, v in out.items()}):
         print(f"implausible accounting medians discarded ({med})",
               file=sys.stderr)
         return {}
@@ -918,6 +1024,28 @@ def leg_accounting() -> dict:
     return fields
 
 
+def leg_serve_device() -> dict:
+    """Serving daemon req/s on the device path alone (cached-pool
+    requests; VERDICT r4 next #6). Recorded beside the honest host-bound
+    load-test number in README so the daemon's bottleneck attribution is
+    measured, not asserted. Gates: at least 90% of requests answered
+    without error, and a rate in (0, 50k] — the chip ceiling is ~2.8k
+    captions/s, so anything above that band is a clock glitch, not a
+    faster daemon."""
+    out = measure_serve_device()
+    rps = out.get("req_per_sec", 0)
+    errs = out.get("errors", 0)
+    n = max(1, out.get("requests", 1))
+    if not 0 < rps <= 50_000 or errs > 0.1 * n:
+        print(f"implausible serve-device measurement discarded ({out})",
+              file=sys.stderr)
+        return {}
+    fields = {"serve_device_path_req_per_sec": rps}
+    if out.get("p50_ms") is not None:
+        fields["serve_device_path_p50_ms"] = out["p50_ms"]
+    return fields
+
+
 def leg_topk() -> dict:
     """Exact Pallas top-k (--pallas-topk, token-identical) vs the default
     lax.top_k inside the worst-case 51-step batched beam — the one decode
@@ -927,8 +1055,8 @@ def leg_topk() -> dict:
     default."""
     samples = measure_topk_ab()
     med = {n: float(np.median(v)) for n, v in samples.items()}
-    if any(v <= 0 for v in med.values()):
-        print(f"implausible topk A/B discarded ({med})", file=sys.stderr)
+    if any(v <= 0 for v in med.values()) or not _arms_consistent(samples):
+        print(f"implausible topk A/B discarded ({samples})", file=sys.stderr)
         return {}
     sp = med["lax"] / med["pallas"]
     if not 0.25 <= sp <= 4:
@@ -963,10 +1091,20 @@ def leg_resnet() -> dict:
 
 
 def leg_densenet() -> dict:
-    """DenseNet161 e2e, parts-wise only (see measure_densenet_parts — the
-    whole-program HLO is beyond the tunnel's wedge threshold by
-    construction). Runs last with resnet: the wedge-prone giant-encoder
-    programs must not cost earlier legs."""
+    """DenseNet161 e2e. Whole-program first at the minimal 2-vs-1 slope
+    pair (VERDICT r4 next #5 — previously parts-only by construction), the
+    parts-wise recipe as the fallback. Runs last with resnet: the
+    wedge-prone giant-encoder programs must not cost earlier legs."""
+    try:
+        cps = measure_densenet_e2e()
+        if 0 < cps <= 20_000:
+            return {"captions_per_sec_beam5_densenet161_e2e": round(cps, 2)}
+        print(f"implausible densenet e2e discarded ({cps})", file=sys.stderr)
+    except _LegTimeout:
+        raise   # same contract as leg_resnet: don't dispatch into a wedge
+    except Exception as e:
+        print(f"densenet whole-program leg failed ({e}); "
+              f"falling back to parts", file=sys.stderr)
     fields = measure_densenet_parts()
     cps = fields.get("captions_per_sec_beam5_densenet161_e2e", 0)
     if not 0 < cps <= 20_000:
@@ -990,6 +1128,7 @@ LEGS = [
     ("encoder", leg_encoder, 150),
     ("remat", leg_remat, 420),   # 8 grad-scan compiles dominate the budget
     ("accounting", leg_accounting, 420),  # 12 compiles, 2 of them grad scans
+    ("serve_device", leg_serve_device, 300),
     ("topk", leg_topk, 300),
     ("resnet", leg_resnet, 300),
     ("densenet", leg_densenet, 300),
@@ -1016,6 +1155,7 @@ LEG_PRIMARY_FIELD = {
     "encoder": "encoder_vgg19_tflops",
     "remat": "train_remat_speedup_f32",
     "accounting": "train_acct_step_ms",
+    "serve_device": "serve_device_path_req_per_sec",
     "topk": "beam_pallas_topk_speedup",
     "resnet": "captions_per_sec_beam5_resnet152_e2e",
     "densenet": "captions_per_sec_beam5_densenet161_e2e",
@@ -1025,13 +1165,16 @@ LEG_PRIMARY_FIELD = {
 def harvested_leg_clean(fields: dict, leg: str) -> bool:
     """True when a leg's primary field is harvested and worth keeping as-is.
     A 'slow tunnel phase' or 'upper bound' note marks a measurement taken
-    in a degraded/glitchy phase — re-measure it; a structural note ('sum
-    of parts' on the resnet/densenet parts recipes) is intrinsic to the
-    leg and does NOT make it incomplete."""
+    in a degraded/glitchy phase — re-measure it. A 'sum of per-stage' note
+    (the resnet/densenet parts fallback) is an ESTIMATE standing in for the
+    whole program — stage-sums ignore inter-stage fusion/overlap (VERDICT
+    r4 next #5) — so it too deserves a whole-program retry in a later
+    window; only a noteless field is final."""
     fld = LEG_PRIMARY_FIELD[leg]
     note = fields.get(fld + "_note", "")
     return fld in fields and \
-        "slow tunnel phase" not in note and "upper bound" not in note
+        "slow tunnel phase" not in note and "upper bound" not in note \
+        and "sum of per-stage" not in note
 
 
 def run_legs(line: dict, save) -> None:

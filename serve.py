@@ -45,11 +45,18 @@ class CaptionServer:
     def __init__(self, caption_fn, image_size: int, decode_tokens,
                  max_batch: int = 32, batch_window_ms: float = 5.0,
                  host: str = "127.0.0.1", port: int = 0, put_batch=None,
-                 bucket_quantum: int = 1, request_ttl_s: float = 60.0):
+                 bucket_quantum: int = 1, request_ttl_s: float = 60.0,
+                 image_pool=None):
         self._caption_fn = caption_fn     # (B,S,S,3) f32 -> dict of arrays
         self._put_batch = put_batch       # optional: place batch on a mesh
         self._bucket_quantum = max(1, bucket_quantum)
         self._image_size = image_size
+        # Pre-decoded image pool for `{"cached": idx}` requests (VERDICT r4
+        # next #6): rows come straight from this (N, S, S, 3) f32 array,
+        # skipping file IO + PIL/native decode entirely, so a load test can
+        # measure the daemon's dispatch+decode path isolated from the
+        # host's image-loading bound. None = cached requests are rejected.
+        self._image_pool = image_pool
         self._decode_tokens = decode_tokens   # token row -> list of words
         self._max_batch = max(1, max_batch)
         self._window_s = batch_window_ms / 1e3
@@ -183,7 +190,15 @@ class CaptionServer:
                 snapshot["latency_p99_ms"] = pct(0.99)
             reply(snapshot)
             return
-        if "path" not in req:
+        if "cached" in req:
+            if self._image_pool is None:
+                self._count("errors")
+                reply({"id": req.get("id"),
+                       "error": "no image pool (start with "
+                                "--preload-images to serve cached "
+                                "requests)"})
+                return
+        elif "path" not in req:
             self._count("errors")
             reply({"id": req.get("id"), "error": "missing 'path'"})
             return
@@ -257,15 +272,22 @@ class CaptionServer:
         from sat_tpu.data.transforms import load_and_preprocess_image
 
         imgs = [None] * len(batch)
-        if os.environ.get("SAT_NATIVE_PREPROC") == "1":
+        # cached rows come straight from the pre-decoded pool (no file IO)
+        for i, (req, _) in enumerate(batch):
+            if "cached" in req and self._image_pool is not None:
+                imgs[i] = self._image_pool[int(req["cached"])
+                                           % len(self._image_pool)]
+        disk = [i for i, (req, _) in enumerate(batch) if imgs[i] is None
+                and "path" in req]
+        if disk and os.environ.get("SAT_NATIVE_PREPROC") == "1":
             from sat_tpu.data import native
             if native.decode_support():
                 loaded, status = native.load_images(
-                    [req["path"] for req, _ in batch], self._image_size)
+                    [batch[i][0]["path"] for i in disk], self._image_size)
                 if loaded is not None:
-                    for i, st in enumerate(status):
+                    for j, st in enumerate(status):
                         if st == native.OK:
-                            imgs[i] = loaded[i]
+                            imgs[disk[j]] = loaded[j]
         out_imgs, live = [], []
         for i, (req, reply) in enumerate(batch):
             if imgs[i] is None:
@@ -410,12 +432,44 @@ def build_server(args) -> CaptionServer:
             return decode_caption_bert(row, tokenizer)
         return decode_caption(row, word_dict, token_dict)
 
+    # Pre-decoded pool for {"cached": idx} requests: decode up to
+    # --preload-count images ONCE at startup so a load test (tools/
+    # load_test.py --cached) measures the daemon's dispatch+decode path
+    # isolated from this host's image-loading bound (VERDICT r4 next #6).
+    image_pool = None
+    preload = getattr(args, "preload_images", None)
+    if preload:
+        import glob as _glob
+
+        import numpy as np
+
+        from sat_tpu.data.transforms import load_and_preprocess_image
+        paths = sorted(
+            p for p in _glob.glob(os.path.join(preload, "*"))
+            if os.path.isfile(p)) if os.path.isdir(preload) else [preload]
+        count = max(1, getattr(args, "preload_count", 32))
+        rows, used = [], []
+        for p in paths:
+            if len(rows) >= count:
+                break
+            try:
+                rows.append(load_and_preprocess_image(p, cfg.image_size))
+                used.append(p)
+            except Exception:
+                continue   # non-image files in the dir are fine to skip
+        if not rows:
+            raise SystemExit(f"--preload-images {preload}: no decodable "
+                             f"images found")
+        image_pool = np.stack(rows).astype(np.float32)
+        print(f"preloaded {len(rows)} images into the cached-request pool")
+
     return CaptionServer(fn, cfg.image_size, decode_tokens,
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
                          host=args.host, port=args.port,
                          put_batch=put_batch, bucket_quantum=bucket_quantum,
-                         request_ttl_s=getattr(args, "request_ttl_s", 60.0))
+                         request_ttl_s=getattr(args, "request_ttl_s", 60.0),
+                         image_pool=image_pool)
 
 
 def main():
@@ -459,6 +513,14 @@ def main():
     parser.add_argument("--request-ttl-s", type=float, default=60.0,
                         help="drop queued requests older than this (their "
                              "clients have timed out); 0 disables")
+    parser.add_argument("--preload-images", type=str, default=None,
+                        help="image file or directory to pre-decode into "
+                             "the cached-request pool at startup; clients "
+                             "can then send {\"cached\": idx} instead of a "
+                             "path, skipping file IO + decode (isolates "
+                             "the device path for load tests)")
+    parser.add_argument("--preload-count", type=int, default=32,
+                        help="max images decoded into the pool")
     args = parser.parse_args()
 
     server = build_server(args)

@@ -55,10 +55,16 @@ def bench_stubs(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "measure_resnet_e2e", lambda: 2100.0)
     monkeypatch.setattr(bench, "measure_accounting",
                         lambda: _acct(3.0, 2.6, 1.0, 0.3, 0.9, 0.35))
+    monkeypatch.setattr(bench, "measure_serve_device",
+                        lambda **kw: {"requests": 512, "errors": 0,
+                                      "req_per_sec": 950.0, "p50_ms": 31.0})
     monkeypatch.setattr(
         bench, "measure_resnet_parts",
         lambda: pytest.fail("parts fallback must not run when the "
                             "whole-program resnet leg succeeds"))
+    monkeypatch.setattr(
+        bench, "measure_densenet_e2e",
+        lambda: (_ for _ in ()).throw(RuntimeError("stub: use parts path")))
     monkeypatch.setattr(
         bench, "measure_densenet_parts",
         lambda: {"captions_per_sec_beam5_densenet161_e2e": 1700.0,
@@ -167,10 +173,12 @@ def test_stage_plans_chain_shapes():
 
 
 def test_harvested_leg_clean_semantics():
-    """Slow-phase and upper-bound notes mark a leg for re-measurement;
-    structural notes (the parts recipes' 'sum of ... measurements') and
-    clean fields count as complete; absent fields are incomplete."""
+    """Slow-phase, upper-bound AND parts-estimate ('sum of per-stage')
+    notes mark a leg for re-measurement (the last because stage-sums are
+    estimates awaiting a whole-program window, VERDICT r4 next #5); only
+    noteless fields count as complete; absent fields are incomplete."""
     f = {"value": 2700.0,
+         "captions_per_sec_beam5_resnet152_e2e": 2100.0,
          "captions_per_sec_beam5_densenet161_e2e": 1700.0,
          "captions_per_sec_beam5_densenet161_e2e_note":
              "sum of per-stage encoder + decode-only slope measurements",
@@ -182,7 +190,8 @@ def test_harvested_leg_clean_semantics():
          "train_blocked_rows_per_sec_wall_note":
              "possible clock glitch; treat as upper bound"}
     assert bench.harvested_leg_clean(f, "headline")
-    assert bench.harvested_leg_clean(f, "densenet")
+    assert bench.harvested_leg_clean(f, "resnet")      # noteless = final
+    assert not bench.harvested_leg_clean(f, "densenet")  # parts estimate
     assert not bench.harvested_leg_clean(f, "train_f32")
     assert not bench.harvested_leg_clean(f, "blocked")
     assert not bench.harvested_leg_clean(f, "latency")
@@ -553,3 +562,55 @@ def test_leg_accounting_discards_non_summing_parts(monkeypatch):
 def test_accounting_leg_registered():
     assert "accounting" in dict((n, f) for n, f, _ in bench.LEGS)
     assert bench.LEG_PRIMARY_FIELD["accounting"] == "train_acct_step_ms"
+
+
+def test_leg_serve_device_gates(monkeypatch):
+    """The serve-device leg records req/s + p50 on a clean run and discards
+    error-heavy or physically implausible measurements."""
+    monkeypatch.setattr(bench, "measure_serve_device",
+                        lambda **kw: {"requests": 512, "errors": 0,
+                                      "req_per_sec": 950.0, "p50_ms": 31.0})
+    fields = bench.leg_serve_device()
+    assert fields["serve_device_path_req_per_sec"] == 950.0
+    assert fields["serve_device_path_p50_ms"] == 31.0
+    # >10% errors -> the rate is an artifact of failures, discard
+    monkeypatch.setattr(bench, "measure_serve_device",
+                        lambda **kw: {"requests": 512, "errors": 100,
+                                      "req_per_sec": 950.0, "p50_ms": 31.0})
+    assert bench.leg_serve_device() == {}
+    # above any physical ceiling -> clock glitch
+    monkeypatch.setattr(bench, "measure_serve_device",
+                        lambda **kw: {"requests": 512, "errors": 0,
+                                      "req_per_sec": 80_000.0})
+    assert bench.leg_serve_device() == {}
+
+
+def test_leg_densenet_prefers_whole_program(monkeypatch):
+    """When the whole-program densenet e2e succeeds, its (noteless) number
+    is recorded and the parts fallback never runs — clearing the stage-sum
+    estimate from the harvest (VERDICT r4 next #5)."""
+    monkeypatch.setattr(bench, "measure_densenet_e2e", lambda: 1650.0)
+    monkeypatch.setattr(
+        bench, "measure_densenet_parts",
+        lambda: pytest.fail("parts fallback must not run when the "
+                            "whole-program densenet leg succeeds"))
+    fields = bench.leg_densenet()
+    assert fields == {"captions_per_sec_beam5_densenet161_e2e": 1650.0}
+
+
+def test_arm_consistency_gate(monkeypatch):
+    """Arms whose samples disagree >2.5x (or glitch to zero) mark the whole
+    A/B window unstable — the leg must discard, even when the medians alone
+    would pass (observed: [1.95, 5.37, 0.0] ms for one program)."""
+    assert bench._arms_consistent({"a": [6.3, 6.4], "b": [5.8, 5.9]})
+    assert not bench._arms_consistent({"a": [1.95, 5.37], "b": [5.8, 5.9]})
+    assert not bench._arms_consistent({"a": [6.3, 0.0], "b": [5.8, 5.9]})
+    monkeypatch.setattr(bench, "measure_remat_ab",
+                        lambda: {"f32": [1.95, 5.37, 6.0],
+                                 "f32_remat": [2.4, 2.5, 2.5],
+                                 "bf16": [4.9, 5.0, 5.0],
+                                 "bf16_remat": [4.6, 4.7, 4.7]})
+    assert bench.leg_remat() == {}
+    monkeypatch.setattr(bench, "measure_topk_ab",
+                        lambda: {"lax": [6.3, 0.0], "pallas": [5.6, 5.7]})
+    assert bench.leg_topk() == {}

@@ -318,3 +318,82 @@ def test_sample_decode_server(served):
             assert isinstance(r["completed"], bool)
     finally:
         srv.stop()
+
+
+def test_cached_pool_requests():
+    """{"cached": idx} requests are served from the pre-decoded pool with
+    zero file IO (the device-path load-test mode, VERDICT r4 next #6):
+    rows index the pool modulo its length, no 'path' is required, and a
+    server WITHOUT a pool rejects cached requests with a clear error."""
+    import serve as serve_mod
+
+    seen = []
+
+    def fake_fn(arr):
+        seen.append(np.asarray(arr).copy())
+        n = arr.shape[0]
+        return {"tokens": np.tile(np.arange(52, dtype=np.int32), (n, 1)),
+                "length": np.full((n,), 2, np.int32),
+                "score": np.zeros((n,), np.float32),
+                "found": np.ones((n,), bool)}
+
+    pool = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    server = serve_mod.CaptionServer(fake_fn, 8, lambda t, l, f: ["ok"],
+                                     max_batch=2, batch_window_ms=1.0,
+                                     image_pool=pool)
+    server.start()
+    try:
+        s, f = _client(server.port)
+        r0 = _ask(f, {"id": "c0", "cached": 0})
+        r5 = _ask(f, {"id": "c5", "cached": 5})   # 5 % 2 -> pool row 1
+        s.close()
+    finally:
+        server.stop()
+    assert r0.get("caption") == "ok" and r5.get("caption") == "ok"
+    rows = np.concatenate(seen, axis=0)
+    # every served row must be byte-identical to a pool row
+    assert all(any(np.array_equal(row, p) for p in pool) for row in rows)
+
+    # no pool -> cached requests are rejected, path requests still work
+    server2 = serve_mod.CaptionServer(fake_fn, 8, lambda t, l, f: ["ok"],
+                                      max_batch=2, batch_window_ms=1.0)
+    server2.start()
+    try:
+        s, f = _client(server2.port)
+        resp = _ask(f, {"id": "c1", "cached": 1})
+        s.close()
+    finally:
+        server2.stop()
+    assert "error" in resp and "pool" in resp["error"]
+
+
+def test_load_test_cached_mode():
+    """tools/load_test.py --cached drives the pool path end-to-end and
+    reports req/s with zero errors."""
+    import os
+    import sys
+
+    import serve as serve_mod
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from load_test import run_load
+
+    def fake_fn(arr):
+        n = arr.shape[0]
+        return {"tokens": np.zeros((n, 52), np.int32),
+                "length": np.ones((n,), np.int32),
+                "score": np.zeros((n,), np.float32),
+                "found": np.ones((n,), bool)}
+
+    pool = np.zeros((4, 8, 8, 3), np.float32)
+    server = serve_mod.CaptionServer(fake_fn, 8, lambda t, l, f: ["ok"],
+                                     max_batch=4, batch_window_ms=1.0,
+                                     image_pool=pool)
+    server.start()
+    try:
+        out = run_load("127.0.0.1", server.port, [], 24, 4, cached=True)
+    finally:
+        server.stop()
+    assert out["errors"] == 0
+    assert out["requests"] == 24
+    assert out["req_per_sec"] > 0

@@ -21,7 +21,12 @@ import time
 
 
 def run_load(host: str, port: int, paths: list, n_requests: int,
-             concurrency: int, timeout_s: float = 120.0) -> dict:
+             concurrency: int, timeout_s: float = 120.0,
+             cached: bool = False) -> dict:
+    """Closed-loop load. `cached=True` sends {"cached": i} requests served
+    from the daemon's pre-decoded pool (serve.py --preload-images) —
+    measuring the dispatch+decode path isolated from this host's image
+    loading (VERDICT r4 next #6); `paths` is ignored in that mode."""
     latencies: list[float] = []
     errors = [0]
     lock = threading.Lock()
@@ -41,7 +46,8 @@ def run_load(host: str, port: int, paths: list, n_requests: int,
                 i = next(counter, None)
             if i is None:
                 break
-            req = {"id": f"w{wid}-{i}", "path": paths[i % len(paths)]}
+            req = ({"id": f"w{wid}-{i}", "cached": i} if cached
+                   else {"id": f"w{wid}-{i}", "path": paths[i % len(paths)]})
             t0 = time.perf_counter()
             try:
                 f.write((json.dumps(req) + "\n").encode())
@@ -96,13 +102,23 @@ def main():
     parser = argparse.ArgumentParser(description="serve.py load generator")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, required=True)
-    parser.add_argument("--images", type=str, required=True,
+    parser.add_argument("--images", type=str, default=None,
                         help="image file, or directory scanned for "
-                             "jpg/jpeg/png files")
+                             "jpg/jpeg/png files (required unless --cached)")
     parser.add_argument("--requests", type=int, default=256)
     parser.add_argument("--concurrency", type=int, default=16)
+    parser.add_argument("--cached", action="store_true", default=False,
+                        help="send {'cached': i} requests served from the "
+                             "daemon's --preload-images pool: measures the "
+                             "dispatch+decode path without file IO")
     args = parser.parse_args()
 
+    if args.cached:
+        print(json.dumps(run_load(args.host, args.port, [], args.requests,
+                                  args.concurrency, cached=True)))
+        return
+    if args.images is None:
+        raise SystemExit("--images is required unless --cached")
     if os.path.isdir(args.images):
         paths = sorted(
             os.path.join(args.images, f) for f in os.listdir(args.images)
