@@ -635,6 +635,9 @@ def measure_resnet_parts() -> dict:
             stages["tflops_per_sec"], 1)
         fields["encoder_resnet152_mfu_pct"] = round(
             stages["mfu_pct_vs_bf16_peak"], 1)
+    if stages.get("hbm_util_pct"):
+        fields["encoder_resnet152_hbm_util_pct"] = round(
+            stages["hbm_util_pct"], 1)
     return fields
 
 
@@ -680,6 +683,11 @@ def measure_densenet_parts() -> dict:
             stages["tflops_per_sec"], 1)
         fields["encoder_densenet161_mfu_pct"] = round(
             stages["mfu_pct_vs_bf16_peak"], 1)
+    if stages.get("hbm_util_pct"):
+        # the axis that explains the low MFU: dense-block concats are
+        # bandwidth, not MACs (VERDICT r4 next #4)
+        fields["encoder_densenet161_hbm_util_pct"] = round(
+            stages["hbm_util_pct"], 1)
     return fields
 
 
@@ -1402,9 +1410,13 @@ def main():
         line = _base_line()
         run_legs(line, _make_saver(run_out))
     else:
-        # default covers the sum of leg watchdogs (~2900s incl. the remat/
-        # topk A/B legs) with headroom for probes between legs
-        budget = float(os.environ.get("SAT_BENCH_CHILD_BUDGET_S", "3300"))
+        # default covers the sum of leg watchdogs (~3600s incl. the remat/
+        # accounting/serve_device legs) with headroom for probes between
+        # legs; kept self-updating against LEGS so a new leg cannot
+        # silently starve the tail of the list
+        default_budget = sum(b for _, _, b in LEGS) + 600
+        budget = float(os.environ.get("SAT_BENCH_CHILD_BUDGET_S",
+                                      str(default_budget)))
         timed_out, rc = False, None
         try:
             proc = subprocess.run([sys.executable, os.path.abspath(__file__),
