@@ -183,8 +183,11 @@ def measure_remat_ab() -> dict:
 
     base = DecoderConfig(vocab_size=VOCAB, encoder_dim=ENC_DIM, use_tf=True,
                          use_ado=True, use_attention=True)
+    # rounds=3 (was 2): a median of two samples is their mean, so one
+    # phase-flipped round poisoned the recorded ratio; with three, the
+    # median rejects one outlier and _arms_consistent rejects worse.
     return measure_decoder_grad_ab(remat_variant_cfgs(base), batch=64,
-                                   rounds=2)
+                                   rounds=3)
 
 
 def measure_accounting() -> dict:
@@ -1135,8 +1138,10 @@ LEGS = [
     ("latency", leg_latency, 150),
     ("encoder", leg_encoder, 150),
     ("remat", leg_remat, 420),   # 8 grad-scan compiles dominate the budget
-    ("accounting", leg_accounting, 420),  # 12 compiles, 2 of them grad scans
-    ("serve_device", leg_serve_device, 300),
+    ("serve_device", leg_serve_device, 300),  # one compile; cheap — before
+    #                                           the compile-heavy accounting
+    ("accounting", leg_accounting, 600),  # 12 compiles, 2 of them grad
+    #                                       scans: hit 420s cache-cold
     ("topk", leg_topk, 300),
     ("resnet", leg_resnet, 300),
     ("densenet", leg_densenet, 300),

@@ -121,3 +121,42 @@ def test_flat_layout_bf16_matches_dedup_bf16():
                             dedup=False)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
     np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+
+
+def test_export_pallas_topk_default_off(tmp_path, monkeypatch):
+    """ADVICE r4: exports default pallas_topk=False (exact_topk picks
+    interpret-vs-kernel from the TRACE-time backend, not the artifact's
+    target platform — a CPU-host export would bake the interpret lowering
+    into a TPU artifact). The parameter threads through when opted in, and
+    both exports are token-identical (the kernel is bit-exact)."""
+    import sat_tpu.engine.serving as serving_mod
+
+    seen = {}
+    real = serving_mod.build_caption_fn
+
+    def spy(*args, **kw):
+        seen.update(kw)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(serving_mod, "build_caption_fn", spy)
+    dcfg = DecoderConfig(vocab_size=30, encoder_dim=512, use_attention=True)
+    enc = init_encoder_params(jax.random.PRNGKey(0), "vgg19")
+    dec = init_decoder_params(jax.random.PRNGKey(1), dcfg)
+
+    path_lax = str(tmp_path / "lax.stablehlo")
+    export_caption_artifact(path_lax, "vgg19", dcfg, enc, dec,
+                            batch_size=2, image_size=32, beam_size=2)
+    assert seen["pallas_topk"] is False   # the portable default
+
+    path_pl = str(tmp_path / "pallas.stablehlo")
+    export_caption_artifact(path_pl, "vgg19", dcfg, enc, dec,
+                            batch_size=2, image_size=32, beam_size=2,
+                            pallas_topk=True)
+    assert seen["pallas_topk"] is True    # opt-in threads through
+
+    imgs = np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32)
+    a = load_caption_artifact(path_lax)(imgs)
+    b = load_caption_artifact(path_pl)(imgs)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))
