@@ -397,3 +397,44 @@ def test_load_test_cached_mode():
     assert out["errors"] == 0
     assert out["requests"] == 24
     assert out["req_per_sec"] > 0
+
+
+def test_overlap_pipelining_replies_all():
+    """The one-behind batch loop (overlap=True, the default) must answer
+    every request exactly once across consecutive batches, and drain the
+    in-flight batch on shutdown. A slow caption_fn forces genuine overlap:
+    batch N+1 is gathered while batch N's finalize is still pending."""
+    import time as _time
+
+    import serve as serve_mod
+
+    calls = []
+
+    def slow_fn(arr):
+        calls.append(arr.shape[0])
+        _time.sleep(0.05)
+        n = arr.shape[0]
+        return {"tokens": np.zeros((n, 52), np.int32),
+                "length": np.ones((n,), np.int32),
+                "score": np.zeros((n,), np.float32),
+                "found": np.ones((n,), bool)}
+
+    pool = np.zeros((4, 8, 8, 3), np.float32)
+    server = serve_mod.CaptionServer(slow_fn, 8, lambda t, l, f: ["ok"],
+                                     max_batch=2, batch_window_ms=1.0,
+                                     image_pool=pool, overlap=True)
+    server.start()
+    try:
+        s, f = _client(server.port)
+        replies = []
+        for i in range(6):   # 3+ batches at max_batch=2
+            replies.append(_ask(f, {"id": f"o{i}", "cached": i}))
+        s.close()
+    finally:
+        server.stop()
+    assert len(replies) == 6
+    assert all(r.get("caption") == "ok" for r in replies), replies
+    ids = sorted(r.get("id") for r in replies)
+    assert ids == [f"o{i}" for i in range(6)]
+    assert server.stats["captioned"] == 6
+    assert server.stats["errors"] == 0
