@@ -223,15 +223,36 @@ def _bottleneck(block, x, stride):
     return jax.nn.relu(out + x)
 
 
-def resnet152_forward(params, x):
+def _stack_pytrees(trees):
+    """Stack a list of identically-structured pytrees leaf-wise (axis 0)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def resnet152_forward(params, x, scan_blocks: bool = False):
+    """`scan_blocks=True` runs each layer's identical non-downsample
+    bottlenecks as ONE `lax.scan` body over weight-stacked params instead
+    of 44 unrolled copies. Same math in the same order (the scanned body is
+    the identical `_bottleneck` call; bitwise-asserted in
+    tests/test_encoder.py), but the HLO shrinks from ~152 conv layers to
+    ~20 — the unrolled whole-program e2e HLO is what exceeded the axon
+    remote-compile endpoint's HTTP-413 upload cap (bench.py leg_resnet),
+    and scan also cuts compile time. Off by default only because the
+    unrolled form gives XLA cross-block scheduling freedom; measured e2e
+    deltas decide which the bench uses."""
     x = conv2d(x, params["conv1"]["w"], stride=2,
                padding=[(3, 3), (3, 3)])
     x = jax.nn.relu(batch_norm(x, params["bn1"]))
     x = max_pool(x, window=3, stride=2, padding=[(0, 0), (1, 1), (1, 1), (0, 0)])
     for li in range(1, 5):
-        stride = 1 if li == 1 else 2
-        for bi, block in enumerate(params[f"layer{li}"]):
-            x = _bottleneck(block, x, stride if bi == 0 else 1)
+        blocks = params[f"layer{li}"]
+        x = _bottleneck(blocks[0], x, 1 if li == 1 else 2)
+        if scan_blocks and len(blocks) > 2:
+            def _body(h, blk):
+                return _bottleneck(blk, h, 1), None
+            x, _ = jax.lax.scan(_body, x, _stack_pytrees(blocks[1:]))
+        else:
+            for block in blocks[1:]:
+                x = _bottleneck(block, x, 1)
     return x  # (B, 7, 7, 2048)
 
 
@@ -309,19 +330,24 @@ def init_encoder_params(rng, network: str, dtype=jnp.float32):
 
 
 def encoder_forward(params, network: str, images: jnp.ndarray,
-                    compute_dtype=None, s2d_conv1: bool = False) -> jnp.ndarray:
+                    compute_dtype=None, s2d_conv1: bool = False,
+                    scan_blocks: bool = False) -> jnp.ndarray:
     """images (B, 224, 224, 3) NHWC -> annotation grid (B, L, C).
 
     `compute_dtype=jnp.bfloat16` casts inputs/params for MXU-friendly conv
     throughput; the annotation grid is returned in float32 either way.
     `s2d_conv1` (vgg19 only) runs the first conv in space-to-depth form —
     same math, 4x the MXU reduction-lane utilization on the 3-channel conv.
+    `scan_blocks` (resnet152 only) collapses the repeated bottleneck blocks
+    into `lax.scan` bodies — identical math, ~8x smaller HLO.
     """
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
         images = images.astype(compute_dtype)
     if network == "vgg19" and s2d_conv1:
         x = vgg19_forward(params, images, s2d_conv1=True)
+    elif network == "resnet152" and scan_blocks:
+        x = resnet152_forward(params, images, scan_blocks=True)
     else:
         x = _FORWARD[network](params, images)
     B, H, W, C = x.shape

@@ -64,17 +64,19 @@ def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
     imgs = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch, 224, 224, 3)).astype(np.float32))
 
-    def fwd(x):
+    def fwd(x, p):
         if precision:
             with jax.default_matmul_precision(precision):
-                return encoder_forward(params, network, x, compute_dtype,
+                return encoder_forward(p, network, x, compute_dtype,
                                        s2d_conv1=s2d)
-        return encoder_forward(params, network, x, compute_dtype,
+        return encoder_forward(p, network, x, compute_dtype,
                                s2d_conv1=s2d)
 
-    flops = compiled_flops(lambda x: fwd(x).sum(), imgs)
-    dt = device_time(lambda x, i: x + 1e-20 * fwd(x).sum(), imgs,
-                     n_lo=n_lo, n_hi=n_hi, reps=reps)
+    # params as real arguments (not closure constants inlined into the
+    # HLO upload — see sat_tpu.utils.timing._runner)
+    flops = compiled_flops(lambda x, p: fwd(x, p).sum(), imgs, params)
+    dt = device_time(lambda x, i, p: x + 1e-20 * fwd(x, p).sum(), imgs,
+                     n_lo=n_lo, n_hi=n_hi, reps=reps, aux=params)
     if dt <= 0:
         # device_time floors a negative median slope at 0.0 — an
         # RT-dominated glitch phase, not a real measurement (review r3:
@@ -95,36 +97,40 @@ def measure_encoder_variant(network: str, batch: int, compute_dtype=None,
 
 
 def resnet152_stage_plan(params, batch: int):
-    """(name, fn, input_shape) stages of the ResNet152 forward (stem,
-    layer1..layer4 — reference encoder.py:13-17 keeps the body minus
-    avgpool/fc). Each stage's input shape is the previous one's output
-    shape (chaining asserted by tests/test_bench_gates.py via
-    jax.eval_shape), so the sum of stage times is the full forward."""
+    """(name, fn, input_shape, stage_params) stages of the ResNet152
+    forward (stem, layer1..layer4 — reference encoder.py:13-17 keeps the
+    body minus avgpool/fc). Each stage's input shape is the previous one's
+    output shape (chaining asserted by tests/test_bench_gates.py via
+    jax.eval_shape), so the sum of stage times is the full forward. Stage
+    fns take (x, stage_params) so the weights are jit ARGUMENTS — closing
+    over them inlines up to ~144MB (layer3) of constants into the HLO
+    upload (see sat_tpu.utils.timing._runner)."""
     import jax
 
     from sat_tpu.models.encoder import _bottleneck, batch_norm, conv2d, \
         max_pool
 
-    def stem(x):
-        x = conv2d(x, params["conv1"]["w"], stride=2,
+    def stem(x, p):
+        x = conv2d(x, p["conv1"]["w"], stride=2,
                    padding=[(3, 3), (3, 3)])
-        x = jax.nn.relu(batch_norm(x, params["bn1"]))
+        x = jax.nn.relu(batch_norm(x, p["bn1"]))
         return max_pool(x, window=3, stride=2,
                         padding=[(0, 0), (1, 1), (1, 1), (0, 0)])
 
     def layer(li):
-        def fwd(x):
+        def fwd(x, blocks):
             stride = 1 if li == 1 else 2
-            for bi, block in enumerate(params[f"layer{li}"]):
+            for bi, block in enumerate(blocks):
                 x = _bottleneck(block, x, stride if bi == 0 else 1)
             return x
         return fwd
 
-    return [("stem", stem, (batch, 224, 224, 3)),
-            ("layer1", layer(1), (batch, 56, 56, 64)),
-            ("layer2", layer(2), (batch, 56, 56, 256)),
-            ("layer3", layer(3), (batch, 28, 28, 512)),
-            ("layer4", layer(4), (batch, 14, 14, 1024))]
+    return [("stem", stem, (batch, 224, 224, 3),
+             {"conv1": params["conv1"], "bn1": params["bn1"]}),
+            ("layer1", layer(1), (batch, 56, 56, 64), params["layer1"]),
+            ("layer2", layer(2), (batch, 56, 56, 256), params["layer2"]),
+            ("layer3", layer(3), (batch, 28, 28, 512), params["layer3"]),
+            ("layer4", layer(4), (batch, 14, 14, 1024), params["layer4"])]
 
 
 def measure_resnet152_stages(batch: int, n_lo: int = 1, n_hi: int = 3,
@@ -157,12 +163,12 @@ def _measure_stage_plan(what: str, plan, batch: int, n_lo: int, n_hi: int,
 
     stages, total_flops, total_sec, total_bytes = [], 0.0, 0.0, 0.0
     flops_complete = bytes_complete = True
-    for name, fn, shape in plan:
+    for name, fn, shape, p in plan:
         x = jnp.asarray(np.random.default_rng(0).normal(size=shape)
                         .astype(np.float32))
-        flops, nbytes = compiled_cost(lambda v: fn(v).sum(), x)
-        dt = device_time(lambda v, i: v + 1e-20 * fn(v).sum(), x,
-                         n_lo=n_lo, n_hi=n_hi, reps=reps)
+        flops, nbytes = compiled_cost(lambda v, a: fn(v, a).sum(), x, p)
+        dt = device_time(lambda v, i, a: v + 1e-20 * fn(v, a).sum(), x,
+                         n_lo=n_lo, n_hi=n_hi, reps=reps, aux=p)
         if dt <= 0:
             raise RuntimeError(f"implausible {what} stage slope "
                                f"({name} B={batch}): dt={dt}")
@@ -197,11 +203,12 @@ def _measure_stage_plan(what: str, plan, batch: int, n_lo: int, n_hi: int,
 
 
 def densenet161_stage_plan(params, batch: int):
-    """(name, fn, input_shape) stages of the DenseNet161 forward (stem,
-    block1+trans1 .. block3+trans3, block4 — reference encoder.py:18-22
-    keeps features minus norm5). Stage input shapes are derived from the
-    DenseNet growth arithmetic so they cannot drift from the model
-    definition; chaining is asserted by tests/test_bench_gates.py."""
+    """(name, fn, input_shape, stage_params) stages of the DenseNet161
+    forward (stem, block1+trans1 .. block3+trans3, block4 — reference
+    encoder.py:18-22 keeps features minus norm5). Stage input shapes are
+    derived from the DenseNet growth arithmetic so they cannot drift from
+    the model definition; chaining is asserted by tests/test_bench_gates.py.
+    Stage fns take (x, stage_params) — see resnet152_stage_plan."""
     import jax
 
     from sat_tpu.models.encoder import (DENSENET161_BLOCKS, DENSENET_GROWTH,
@@ -209,29 +216,33 @@ def densenet161_stage_plan(params, batch: int):
                                         avg_pool, batch_norm, conv2d,
                                         max_pool)
 
-    def stem(x):
-        x = conv2d(x, params["conv0"]["w"], stride=2,
+    def stem(x, p):
+        x = conv2d(x, p["conv0"]["w"], stride=2,
                    padding=[(3, 3), (3, 3)])
-        x = jax.nn.relu(batch_norm(x, params["norm0"]))
+        x = jax.nn.relu(batch_norm(x, p["norm0"]))
         return max_pool(x, window=3, stride=2,
                         padding=[(0, 0), (1, 1), (1, 1), (0, 0)])
 
     def block(bi):
-        def fwd(x):
-            for layer in params[f"block{bi}"]:
+        def fwd(x, p):
+            for layer in p[f"block{bi}"]:
                 x = _dense_layer(layer, x)
             if bi < 4:
-                t = params[f"trans{bi}"]
+                t = p[f"trans{bi}"]
                 x = jax.nn.relu(batch_norm(x, t["norm"]))
                 x = conv2d(x, t["conv"]["w"])
                 x = avg_pool(x)
             return x
         return fwd
 
-    plan = [("stem", stem, (batch, 224, 224, 3))]
+    plan = [("stem", stem, (batch, 224, 224, 3),
+             {"conv0": params["conv0"], "norm0": params["norm0"]})]
     ch, hw = DENSENET_INIT, 56
     for bi, n_layers in enumerate(DENSENET161_BLOCKS, start=1):
-        plan.append((f"block{bi}", block(bi), (batch, hw, hw, ch)))
+        sp = {f"block{bi}": params[f"block{bi}"]}
+        if bi < 4:
+            sp[f"trans{bi}"] = params[f"trans{bi}"]
+        plan.append((f"block{bi}", block(bi), (batch, hw, hw, ch), sp))
         ch += n_layers * DENSENET_GROWTH
         if bi < 4:                      # transition halves channels+spatial
             ch //= 2
@@ -292,11 +303,12 @@ def measure_decoder_grad_ab(variants, batch: int = 64, rounds: int = 2,
     tx = make_optimizer()
 
     def make_body(cfg):
-        def body(carry, i):
+        def body(carry, i, data):
+            f, c = data
             params, opt_state = carry
             step_rng = jax.random.fold_in(drop, i)
             _, grads = jax.value_and_grad(
-                lambda p: _loss_and_metrics(cfg, 1.0, p, feats, caps,
+                lambda p: _loss_and_metrics(cfg, 1.0, p, f, c,
                                             step_rng, True),
                 has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -309,7 +321,8 @@ def measure_decoder_grad_ab(variants, batch: int = 64, rounds: int = 2,
     for r in range(rounds):
         for name, cfg in variants.items():
             dt = device_time(make_body(cfg), carry0,
-                             n_lo=n_lo, n_hi=n_hi, reps=reps)
+                             n_lo=n_lo, n_hi=n_hi, reps=reps,
+                             aux=(feats, caps))
             samples[name].append(dt * 1e3)
             if progress:
                 progress(r, name, dt)
@@ -353,8 +366,8 @@ def measure_beam_ab(dec_params, cfg, variants, batch: int = 64,
         size=(batch, L, cfg.encoder_dim)).astype(np.float32))
 
     def make_body(kw):
-        def body(x, i):
-            r = beam_search_batched(dec_params, cfg, x, beam, **kw)
+        def body(x, i, p):
+            r = beam_search_batched(p, cfg, x, beam, **kw)
             # chain on TOKENS, not score: the worst-case beam never
             # completes, so score is -inf and would poison the carry —
             # every rep after the first would decode -inf/NaN features,
@@ -368,7 +381,8 @@ def measure_beam_ab(dec_params, cfg, variants, batch: int = 64,
     for r in range(rounds):
         for name, kw in variants.items():
             dt = device_time(make_body(kw), feats,
-                             n_lo=n_lo, n_hi=n_hi, reps=reps)
+                             n_lo=n_lo, n_hi=n_hi, reps=reps,
+                             aux=dec_params)
             samples[name].append(dt * 1e3)
             if progress:
                 progress(r, name, dt)
@@ -475,8 +489,8 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
     drop = jax.random.PRNGKey(1)
     tx = make_optimizer()
 
-    def loss_fn(p, f, i):
-        l, _ = _loss_and_metrics(cfg, 1.0, p, f, caps,
+    def loss_fn(p, f, c, i):
+        l, _ = _loss_and_metrics(cfg, 1.0, p, f, c,
                                  jax.random.fold_in(drop, i), True)
         return l
 
@@ -492,42 +506,52 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
     embs = jnp.asarray(rng.normal(
         size=(B, Tm, cfg.embedding_size)).astype(np.float32))
 
-    def head_fn(hp, h_in, i):
+    def head_fn(hp, h_in, cx, em, tgt, i):
         h_do = _dropout(h_in, cfg.dropout_rate, jax.random.fold_in(drop, i))
-        preds = _advanced_deep_output(hp, h_do, ctxs, embs)
-        return reference_packed_cross_entropy(preds, caps[:, 1:])
+        preds = _advanced_deep_output(hp, h_do, cx, em)
+        return reference_packed_cross_entropy(preds, tgt)
 
     grads_const = jax.tree_util.tree_map(
         lambda a: jnp.full_like(a, 1e-6), params)
 
+    # Shared aux pytree: every large array rides the jit as a REAL
+    # ARGUMENT (see sat_tpu.utils.timing._runner — closed-over arrays are
+    # inlined as HLO constants, bloating the remote-compile upload by
+    # ~90MB here: feats + params + a params-shaped grads tree).
+    aux = {"feats": feats, "caps": caps, "hs": hs, "ctxs": ctxs,
+           "embs": embs, "params": params, "grads": grads_const}
+
     # --- bodies (each threads its carry so scan reps can't be hoisted) ---
-    def body_step(carry, i):
+    def body_step(carry, i, a):
         p, s = carry
         _, g = jax.value_and_grad(
-            lambda q: _loss_and_metrics(cfg, 1.0, q, feats, caps,
+            lambda q: _loss_and_metrics(cfg, 1.0, q, a["feats"], a["caps"],
                                         jax.random.fold_in(drop, i), True),
             has_aux=True)(p)
         u, s = tx.update(g, s, p)
         u = jax.tree_util.tree_map(lambda x: -1e-4 * x, u)
         return (optax.apply_updates(p, u), s)
 
-    def body_grad(p, i):
-        g = jax.grad(loss_fn)(p, feats, i)
-        return jax.tree_util.tree_map(lambda a, d: a - 1e-7 * d, p, g)
+    def body_grad(p, i, a):
+        g = jax.grad(loss_fn)(p, a["feats"], a["caps"], i)
+        return jax.tree_util.tree_map(lambda x, d: x - 1e-7 * d, p, g)
 
-    def body_fwd(c, i):
-        return loss_fn(params, feats + c * 1e-20, i) * 1e-20
+    def body_fwd(c, i, a):
+        return loss_fn(a["params"], a["feats"] + c * 1e-20, a["caps"],
+                       i) * 1e-20
 
-    def body_head(c, i):
-        return head_fn(params, hs + c * 1e-20, i) * 1e-20
+    def body_head(c, i, a):
+        return head_fn(a["params"], a["hs"] + c * 1e-20, a["ctxs"],
+                       a["embs"], a["caps"][:, 1:], i) * 1e-20
 
-    def body_head_grad(hp, i):
-        l, g = jax.value_and_grad(head_fn)(hp, hs, i)
-        return jax.tree_util.tree_map(lambda a, d: a - 1e-7 * d, hp, g)
+    def body_head_grad(hp, i, a):
+        l, g = jax.value_and_grad(head_fn)(hp, a["hs"], a["ctxs"],
+                                           a["embs"], a["caps"][:, 1:], i)
+        return jax.tree_util.tree_map(lambda x, d: x - 1e-7 * d, hp, g)
 
-    def body_adam(carry, i):
+    def body_adam(carry, i, a):
         p, s = carry
-        u, s = tx.update(grads_const, s, p)
+        u, s = tx.update(a["grads"], s, p)
         u = jax.tree_util.tree_map(lambda x: -1e-30 * x, u)
         return (optax.apply_updates(p, u), s)
 
@@ -541,14 +565,18 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
     }
     costs = {
         "step": lambda: compiled_cost(
-            lambda p: body_step((p, tx.init(params)), 0), params),
-        "grad": lambda: compiled_cost(lambda p: body_grad(p, 0), params),
-        "fwd": lambda: compiled_cost(lambda f: loss_fn(params, f, 0), feats),
-        "head": lambda: compiled_cost(lambda h: head_fn(params, h, 0), hs),
+            lambda p, a: body_step((p, tx.init(p)), 0, a), params, aux),
+        "grad": lambda: compiled_cost(
+            lambda p, a: body_grad(p, 0, a), params, aux),
+        "fwd": lambda: compiled_cost(
+            lambda f, a: loss_fn(a["params"], f, a["caps"], 0), feats, aux),
+        "head": lambda: compiled_cost(
+            lambda h, a: head_fn(a["params"], h, a["ctxs"], a["embs"],
+                                 a["caps"][:, 1:], 0), hs, aux),
         "head_grad": lambda: compiled_cost(
-            lambda p: body_head_grad(p, 0), params),
+            lambda p, a: body_head_grad(p, 0, a), params, aux),
         "adam": lambda: compiled_cost(
-            lambda p: body_adam((p, tx.init(params)), 0), params),
+            lambda p, a: body_adam((p, tx.init(p)), 0, a), params, aux),
     }
 
     out = {}
@@ -560,7 +588,8 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
     # the SHARES between blocks stay honest)
     for r in range(reps):
         for name, (body, carry0) in blocks.items():
-            dt = device_time(body, carry0, n_lo=n_lo, n_hi=n_hi, reps=3)
+            dt = device_time(body, carry0, n_lo=n_lo, n_hi=n_hi, reps=3,
+                             aux=aux)
             out[name]["ms"].append(dt * 1e3)
             if progress:
                 progress(r, name, dt)

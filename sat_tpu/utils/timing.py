@@ -24,30 +24,40 @@ import jax
 import jax.numpy as jnp
 
 
-def _runner(body, n: int):
-    """jit(carry -> scalar) running `body` n times, chained, CSE-proof."""
+def _runner(body, n: int, aux=None):
+    """jit(carry -> scalar) running `body` n times, chained, CSE-proof.
+
+    `aux` (any pytree, e.g. model params) is passed to the jit as a REAL
+    ARGUMENT and forwarded to `body(carry, i, aux)`. Closing over large
+    arrays instead bakes them into the StableHLO as inline constants —
+    measured 583 MB of HLO text for the ResNet152 e2e body (240 MB of f32
+    weights hex-dumped), which is what overflowed the axon remote-compile
+    endpoint's HTTP-413 upload cap, not the 152-layer body itself."""
 
     @jax.jit
-    def run(carry):
+    def run(carry, a):
         def step(c, i):
-            c = body(c, i)
+            c = body(c, i, a) if a is not None else body(c, i)
             return c, None
         carry2, _ = jax.lax.scan(step, carry, jnp.arange(n))
         return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(carry2))
 
-    return run
+    return lambda carry: run(carry, aux)
 
 
 def device_time(body, carry0, n_lo: int = 2, n_hi: int = 12,
-                reps: int = 5) -> float:
+                reps: int = 5, aux=None) -> float:
     """Median per-execution device seconds of `body(carry, i) -> carry`.
 
     `body` must thread its output back into its input (same pytree
     structure) so consecutive repetitions depend on each other; use the
     iteration index `i` to perturb inputs if the body would otherwise be
-    idempotent.
+    idempotent. Pass large closed-over pytrees (params, feature banks)
+    via `aux` — body is then called as `body(carry, i, aux)` and the
+    arrays stay runtime buffers instead of inlined HLO constants (see
+    `_runner`).
     """
-    lo, hi = _runner(body, n_lo), _runner(body, n_hi)
+    lo, hi = _runner(body, n_lo, aux), _runner(body, n_hi, aux)
     float(lo(carry0))   # compile
     float(hi(carry0))
 
