@@ -32,7 +32,7 @@ for i in $(seq 1 150); do
   timeout 3600 python tools/measure_now.py all --probe-timeout 90 \
       --skip-harvested >> "$LOG" 2>&1
   echo "=== attempt $i rc=$? $(date -u +%FT%TZ)" >> "$LOG"
-  python - >> "$LOG" 2>&1 <<'PY' && { echo "=== harvest complete $(date -u +%FT%TZ)" >> "$LOG"; exit 0; }
+  python - >> "$LOG" 2>&1 <<'PY' && { python tools/acct_table.py > docs/ACCT_TABLE.md 2>>"$LOG" || rm -f docs/ACCT_TABLE.md; echo "=== harvest complete $(date -u +%FT%TZ)" >> "$LOG"; exit 0; }
 import json, sys
 sys.path.insert(0, ".")
 import bench
