@@ -15,13 +15,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_caption_fn(network: str, dcfg, enc_params, dec_params,
-                     beam_size: int, fast_topk: bool = False,
-                     bf16: bool = False, decode: str = "beam",
-                     mesh_data: int = 1, temperature: float = 1.0,
-                     top_k: int = 0, top_p: float = 1.0,
-                     pallas_topk: bool | None = None):
-    """Closure: images (B, S, S, 3) -> result dict arrays, params baked in.
+def build_caption_step(network: str, dcfg, beam_size: int,
+                       fast_topk: bool = False,
+                       bf16: bool = False, decode: str = "beam",
+                       mesh_data: int = 1, temperature: float = 1.0,
+                       top_k: int = 0, top_p: float = 1.0,
+                       pallas_topk: bool | None = None):
+    """The caption computation with params as ARGUMENTS:
+    step(enc_params, dec_params, images) -> result dict arrays
+    (decode="sample": step(enc_params, dec_params, images, rng)).
+
+    Live servers must jit THIS form: jitting a params-baked closure
+    inlines the weights as HLO constants — measured 582 MB of StableHLO
+    for a 0.33 MB ResNet152 body (docs/ARCHITECTURE.md round 5), which
+    bloats every compile upload and wedged this pod's remote-compile
+    endpoint. Params-baked remains correct for AOT export, where a
+    standalone artifact is the point (build_caption_fn).
 
     `fast_topk`/`bf16` select the measured opt-in beam speed modes
     (sat_tpu.models.beam.beam_search_batched) — for deployments that trade
@@ -32,19 +41,19 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
     and found reports the honest completion bit (a stop token was emitted
     within max_steps). Unlike beam's not-found rows, truncated greedy rows
     still carry their (truncated) tokens. `decode="sample"` is the
-    stochastic variant (temperature / top-k / top-p); its closure takes
-    (images, rng) — the caller supplies a fresh PRNG key per batch."""
+    stochastic variant (temperature / top-k / top-p); the caller supplies
+    a fresh PRNG key per batch."""
     from sat_tpu.models.beam import (beam_search_batched, greedy_caption,
                                      sample_caption,
                                      validate_sampling_params)
     from sat_tpu.models.encoder import encoder_forward
 
     if decode == "sample":
-        # Fail at closure build (CLI startup), not at the first traced
+        # Fail at build (CLI startup), not at the first traced
         # request — see validate_sampling_params.
         validate_sampling_params(temperature, top_k, top_p)
 
-    def encode(images):
+    def encode(enc_params, images):
         feats = encoder_forward(enc_params, network, images,
                                 jnp.bfloat16 if bf16 else None)
         return feats.astype(jnp.float32)
@@ -68,15 +77,15 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                 "alphas": jnp.concatenate([ones, alphas], axis=1)}
 
     if decode == "sample":
-        def caption(images, rng):
+        def caption(enc_params, dec_params, images, rng):
             return pack_scan(*sample_caption(
-                dec_params, dcfg, encode(images), rng,
+                dec_params, dcfg, encode(enc_params, images), rng,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 with_alphas=True))
         return caption
 
-    def caption(images):
-        feats = encode(images)
+    def caption(enc_params, dec_params, images):
+        feats = encode(enc_params, images)
         if decode == "greedy":
             return pack_scan(*greedy_caption(dec_params, dcfg, feats,
                                              with_alphas=True))
@@ -89,6 +98,27 @@ def build_caption_fn(network: str, dcfg, enc_params, dec_params,
                 "alphas": res.alphas}
 
     return caption
+
+
+def build_caption_fn(network: str, dcfg, enc_params, dec_params,
+                     beam_size: int, fast_topk: bool = False,
+                     bf16: bool = False, decode: str = "beam",
+                     mesh_data: int = 1, temperature: float = 1.0,
+                     top_k: int = 0, top_p: float = 1.0,
+                     pallas_topk: bool | None = None):
+    """Closure: images (B, S, S, 3) -> result dict arrays, params baked in
+    (decode="sample": (images, rng)). Thin wrapper over build_caption_step
+    — use for AOT export (a standalone artifact WANTS baked weights) and
+    one-shot CLI paths; live servers should jit build_caption_step and
+    pass params per call (see its docstring for the 582 MB lesson)."""
+    step = build_caption_step(network, dcfg, beam_size,
+                              fast_topk=fast_topk, bf16=bf16, decode=decode,
+                              mesh_data=mesh_data, temperature=temperature,
+                              top_k=top_k, top_p=top_p,
+                              pallas_topk=pallas_topk)
+    if decode == "sample":
+        return lambda images, rng: step(enc_params, dec_params, images, rng)
+    return lambda images: step(enc_params, dec_params, images)
 
 
 def export_caption_artifact(path: str, network: str, dcfg, enc_params,

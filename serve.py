@@ -12,7 +12,8 @@ Concurrent requests are coalesced into one device batch (up to --max-batch,
 waiting at most --batch-window-ms for stragglers), padded up to a
 power-of-two bucket so the jitted program compiles once per bucket, and
 decoded as a single image->encoder->batched-beam TPU program
-(sat_tpu.engine.serving.build_caption_fn). Image loading uses the native
+(sat_tpu.engine.serving.build_caption_step — params ride the jit as
+runtime arguments, not baked constants). Image loading uses the native
 C++ decode tier when SAT_NATIVE_PREPROC=1 (per-image PIL fallback).
 
     python serve.py --model model/model_vgg19_8.npz --port 8765 \
@@ -410,7 +411,7 @@ def build_server(args) -> CaptionServer:
     from generate_caption import load_model
     from sat_tpu.engine.evaluate import (build_token_dict, decode_caption,
                                          decode_caption_bert)
-    from sat_tpu.engine.serving import build_caption_fn
+    from sat_tpu.engine.serving import build_caption_step
     from sat_tpu.utils.compilation_cache import enable_persistent_cache
 
     import jax
@@ -441,8 +442,13 @@ def build_server(args) -> CaptionServer:
         put_batch = lambda arr: jax.device_put(arr, img_sharding)
 
     decode_mode = getattr(args, "decode", "beam")
-    fn = jax.jit(build_caption_fn(
-        cfg.network, dcfg, enc_params, dec_params,
+    # jit the params-as-ARGS step, not the baked closure: closing over the
+    # weights inlines them as HLO constants in every compile upload
+    # (80-240 MB depending on backbone — the round-5 HTTP-413 finding,
+    # build_caption_step docstring). Params live on device; passing them
+    # per call costs nothing at dispatch.
+    step = jax.jit(build_caption_step(
+        cfg.network, dcfg,
         args.beam_size, fast_topk=args.fast_topk,
         pallas_topk=getattr(args, "pallas_topk", None),
         bf16=args.bf16_decode, decode=decode_mode,
@@ -450,6 +456,10 @@ def build_server(args) -> CaptionServer:
         temperature=getattr(args, "temperature", 1.0),
         top_k=getattr(args, "top_k", 0),
         top_p=getattr(args, "top_p", 1.0)))
+    if decode_mode == "sample":
+        fn = lambda arr, rng: step(enc_params, dec_params, arr, rng)
+    else:
+        fn = lambda arr: step(enc_params, dec_params, arr)
     if decode_mode == "sample":
         # The sample closure takes (images, rng); hand the server a
         # single-arg fn with a fresh fold of the seed per batch. Without an

@@ -160,3 +160,51 @@ def test_export_pallas_topk_default_off(tmp_path, monkeypatch):
     b = load_caption_artifact(path_pl)(imgs)
     np.testing.assert_array_equal(np.asarray(a["tokens"]),
                                   np.asarray(b["tokens"]))
+
+
+def test_caption_step_params_as_args_matches_baked_closure():
+    """build_caption_step (params as jit ARGUMENTS — the live-server form)
+    must be bitwise-identical to the baked build_caption_fn closure, and
+    its lowering must not inline the weights as constants (the round-5
+    HTTP-413 finding: a params-baked ResNet152 program lowered to 582 MB
+    of StableHLO, 0.33 MB of it actual body)."""
+    from sat_tpu.engine.serving import build_caption_step
+
+    dcfg = DecoderConfig(vocab_size=30, encoder_dim=512, use_attention=True)
+    enc = init_encoder_params(jax.random.PRNGKey(0), "vgg19")
+    dec = init_decoder_params(jax.random.PRNGKey(1), dcfg)
+    imgs = np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32)
+
+    for kw in ({}, {"decode": "greedy"}):
+        baked = build_caption_fn("vgg19", dcfg, enc, dec, 2, **kw)(imgs)
+        step = build_caption_step("vgg19", dcfg, 2, **kw)
+        live = jax.jit(step)(enc, dec, imgs)
+        for k in ("tokens", "length", "found"):
+            np.testing.assert_array_equal(np.asarray(baked[k]),
+                                          np.asarray(live[k]))
+        # float outputs agree to f32 ulp only: baking params lets XLA
+        # constant-fold differently than the runtime-arg schedule
+        # (measured max |delta| 3e-8 alphas / 1.2e-7 score); every token
+        # decision above is identical
+        for k in ("alphas", "score"):
+            np.testing.assert_allclose(np.asarray(baked[k]),
+                                       np.asarray(live[k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    # sample form takes (e, d, images, rng) / (images, rng)
+    rng = jax.random.PRNGKey(7)
+    skw = dict(decode="sample", temperature=0.8, top_k=4)
+    baked = build_caption_fn("vgg19", dcfg, enc, dec, 1, **skw)(imgs, rng)
+    live = jax.jit(build_caption_step("vgg19", dcfg, 1, **skw))(
+        enc, dec, imgs, rng)
+    np.testing.assert_array_equal(np.asarray(baked["tokens"]),
+                                  np.asarray(live["tokens"]))
+
+    # the args form's lowering must be FAR smaller than the baked one —
+    # even these tiny test params inline megabytes of dense<...> constants
+    step = build_caption_step("vgg19", dcfg, 2)
+    args_txt = len(jax.jit(step).lower(enc, dec, imgs).as_text())
+    baked_txt = len(jax.jit(
+        build_caption_fn("vgg19", dcfg, enc, dec, 2)).lower(imgs).as_text())
+    assert args_txt * 10 < baked_txt, (args_txt, baked_txt)
