@@ -579,6 +579,16 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
             lambda p, a: body_adam((p, tx.init(p)), 0, a), params, aux),
     }
 
+    # Sub-millisecond blocks need MORE in-jit reps for the slope to rise
+    # above the tunnel's RT noise: at (2, 10) the head/adam signal is
+    # ~8 x 0.2 ms = 1.6 ms against RT swings of up to 30 ms, so marginal
+    # phases glitch them to zero slopes while the multi-ms step/grad
+    # blocks measure fine (observed 20:33Z: step 2.90 ms plausible,
+    # grad/fwd/head/adam all 0.0). 3x the reps costs ~50 ms per sample
+    # and makes marginal windows usable.
+    rep_plan = {"fwd": (n_lo, 3 * n_hi), "head": (n_lo, 3 * n_hi),
+                "head_grad": (n_lo, 3 * n_hi), "adam": (n_lo, 3 * n_hi)}
+
     out = {}
     for name, (body, carry0) in blocks.items():
         flops, nbytes = costs[name]()
@@ -588,7 +598,8 @@ def measure_train_accounting(batch: int = 64, n_lo: int = 2, n_hi: int = 10,
     # the SHARES between blocks stay honest)
     for r in range(reps):
         for name, (body, carry0) in blocks.items():
-            dt = device_time(body, carry0, n_lo=n_lo, n_hi=n_hi, reps=3,
+            lo, hi = rep_plan.get(name, (n_lo, n_hi))
+            dt = device_time(body, carry0, n_lo=lo, n_hi=hi, reps=3,
                              aux=aux)
             out[name]["ms"].append(dt * 1e3)
             if progress:
